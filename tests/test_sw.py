@@ -1,0 +1,113 @@
+"""Smith-Waterman kernel parity tests: Pallas kernel vs NumPy oracle vs a
+brute-force scalar DP, plus banded-oracle properties."""
+
+import numpy as np
+import pytest
+
+from vartrix_tpu.constants import GAP_EXTEND, GAP_OPEN, MATCH, MISMATCH
+from vartrix_tpu.ops.sw_numpy import banded_sw_score, sw_score_single, sw_scores_batch
+
+
+def brute_force_sw(x: bytes, y: bytes) -> int:
+    NEGV = -(10**9)
+    Lx, Ly = len(x), len(y)
+    H = [[0] * (Ly + 1) for _ in range(Lx + 1)]
+    E = [[NEGV] * (Ly + 1) for _ in range(Lx + 1)]
+    F = [[NEGV] * (Ly + 1) for _ in range(Lx + 1)]
+    best = 0
+    for i in range(1, Lx + 1):
+        for j in range(1, Ly + 1):
+            s = MATCH if x[i - 1] == y[j - 1] else MISMATCH
+            E[i][j] = max(H[i][j - 1] + GAP_OPEN + GAP_EXTEND, E[i][j - 1] + GAP_EXTEND)
+            F[i][j] = max(H[i - 1][j] + GAP_OPEN + GAP_EXTEND, F[i - 1][j] + GAP_EXTEND)
+            H[i][j] = max(0, H[i - 1][j - 1] + s, E[i][j], F[i][j])
+            best = max(best, H[i][j])
+    return best
+
+
+def random_pairs(rng, n, lx_max, ly_max, embed_frac=0.3):
+    pairs = []
+    for i in range(n):
+        lx = int(rng.integers(1, lx_max + 1))
+        ly = int(rng.integers(1, ly_max + 1))
+        x = bytes(rng.choice(list(b"ACGT"), lx).astype(np.uint8))
+        y = bytearray(rng.choice(list(b"ACGT"), ly).astype(np.uint8))
+        if rng.random() < embed_frac and ly > 10:
+            s = int(rng.integers(0, ly - 5))
+            m = min(lx, ly - s)
+            y[s : s + m] = x[:m]
+        pairs.append((x, bytes(y)))
+    return pairs
+
+
+def pack(pairs, lx_pad, ly_pad):
+    B = len(pairs)
+    xs = np.zeros((B, lx_pad), np.uint8)
+    ys = np.ones((B, ly_pad), np.uint8)
+    for b, (x, y) in enumerate(pairs):
+        xs[b, : len(x)] = np.frombuffer(x, np.uint8)
+        ys[b, : len(y)] = np.frombuffer(y, np.uint8)
+    return xs, ys
+
+
+def test_numpy_oracle_vs_brute_force():
+    rng = np.random.default_rng(0)
+    for x, y in random_pairs(rng, 60, 30, 50):
+        assert sw_score_single(x, y) == brute_force_sw(x, y)
+
+
+def test_gap_cost_convention():
+    # a single 1-base deletion in the read costs GAP_OPEN + GAP_EXTEND = -6
+    x = b"AAAACCCC"
+    y = b"AAAAGCCCC"
+    # best: match 8 with one 1-gap: 8*1 - 6 = 2 ... or mismatch path 4+4-5=3?
+    # brute force is ground truth; just check oracle agreement and that the
+    # score reflects affine costs (open charged once).
+    assert sw_score_single(x, y) == brute_force_sw(x, y)
+    x2 = b"AAAACCCC"
+    y2 = b"AAAAGGGCCCC"  # 3-gap: 8 - (5 + 3) = 0 -> best is 4 (AAAA)
+    assert sw_score_single(x2, y2) == brute_force_sw(x2, y2)
+
+
+def test_pallas_kernel_matches_oracle_random():
+    from vartrix_tpu.ops.sw_pallas import sw_scores_batch_tpu
+
+    rng = np.random.default_rng(1)
+    pairs = random_pairs(rng, 32, 40, 64)
+    xs, ys = pack(pairs, 40, 64)
+    expected = sw_scores_batch(xs, ys)
+    got = sw_scores_batch_tpu(xs, ys)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_pallas_kernel_edge_cases():
+    from vartrix_tpu.ops.sw_pallas import sw_scores_batch_tpu
+
+    # all-pad (empty) entries, exact match, all-mismatch
+    xs = np.zeros((3, 16), np.uint8)
+    ys = np.ones((3, 24), np.uint8)
+    xs[1, :8] = np.frombuffer(b"ACGTACGT", np.uint8)
+    ys[1, 4:12] = np.frombuffer(b"ACGTACGT", np.uint8)
+    xs[2, :4] = np.frombuffer(b"AAAA", np.uint8)
+    ys[2, :4] = np.frombuffer(b"GGGG", np.uint8)
+    got = sw_scores_batch_tpu(xs, ys)
+    np.testing.assert_array_equal(got, [0, 8, 0])
+
+
+def test_banded_oracle_never_exceeds_full():
+    rng = np.random.default_rng(2)
+    for x, y in random_pairs(rng, 15, 40, 60):
+        assert banded_sw_score(x, y) <= sw_score_single(x, y)
+
+
+def test_banded_equals_full_on_similar_sequences():
+    # when the read is embedded in the haplotype (the common case for real
+    # reads), the k-mer band covers the optimal path and the scores agree —
+    # the empirical justification for using full SW on TPU.
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        hap = bytes(rng.choice(list(b"ACGT"), 120).astype(np.uint8))
+        s = int(rng.integers(0, 60))
+        read = bytearray(hap[s : s + 50])
+        read[10] = b"A"[0] if read[10] != b"A"[0] else b"C"[0]  # one SNV
+        assert banded_sw_score(bytes(read), hap) == sw_score_single(bytes(read), hap)

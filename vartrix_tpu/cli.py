@@ -1,0 +1,76 @@
+"""Command-line interface.
+
+Mirrors the reference CLI exactly: same 18 flags, same short names, same
+defaults, same choices (/root/reference/src/main.rs:40-135). Additional
+TPU-framework flags (--backend, --device-agg) are additive and default to
+behavior-preserving values.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vartrix",
+        description="Variant assignment for single cell genomics (TPU-native)",
+    )
+    p.add_argument("-v", "--vcf", metavar="FILE", required=True,
+                   help="Called variant file (VCF)")
+    p.add_argument("-b", "--bam", metavar="FILE", required=True,
+                   help="Cellranger BAM file")
+    p.add_argument("-f", "--fasta", metavar="FILE", required=True,
+                   help="Genome fasta file")
+    p.add_argument("-c", "--cell-barcodes", dest="cell_barcodes", metavar="FILE",
+                   required=True, help="File with cell barcodes to be evaluated")
+    p.add_argument("-o", "--out-matrix", dest="out_matrix", metavar="OUTPUT_FILE",
+                   default="out_matrix.mtx", help="Output Matrix Market file (.mtx)")
+    p.add_argument("--out-variants", dest="out_variants", metavar="OUTPUT_FILE",
+                   default=None,
+                   help="Output variant file. Reports ordered list of variants "
+                        "to help with loading into downstream tools")
+    p.add_argument("--out-barcodes", dest="out_barcodes", metavar="OUTPUT_FILE",
+                   default=None,
+                   help="Output cell barcode file. Barcode labels of output "
+                        "matrices. Will have duplicate barcodes removed compared "
+                        "to input barcodes file.")
+    p.add_argument("-p", "--padding", metavar="INTEGER", type=int, default=100,
+                   help="Number of padding to use on both sides of the variant. "
+                        "Should be at least 1/2 of read length")
+    p.add_argument("-s", "--scoring-method", dest="scoring_method",
+                   choices=["consensus", "coverage", "alt_frac"],
+                   default="consensus",
+                   help="Type of matrix to produce. In 'consensus' mode, cells "
+                        "with both ref and alt reads are given a 3, alt only "
+                        "reads a 2, and ref only reads a 1. Suitable for "
+                        "clustering. In 'coverage' mode, it is required that you "
+                        "set --ref-matrix to store the second matrix in. The "
+                        "'alt_frac' mode will report the fraction of alt reads.")
+    p.add_argument("--ref-matrix", dest="ref_matrix", metavar="OUTPUT_FILE",
+                   default="ref_matrix.mtx",
+                   help="Location to write reference Matrix Market file. Only "
+                        "used if --scoring-method is coverage")
+    p.add_argument("--log-level", dest="log_level",
+                   choices=["info", "debug", "error"], default="error",
+                   help="Logging level")
+    p.add_argument("--threads", metavar="INTEGER", type=int, default=1,
+                   help="Number of parallel threads to use")
+    p.add_argument("--mapq", metavar="INTEGER", type=int, default=0,
+                   help="Minimum read mapping quality to consider")
+    p.add_argument("--primary-alignments", dest="primary_alignments",
+                   action="store_true", help="Use primary alignments only")
+    p.add_argument("--no-duplicates", dest="no_duplicates", action="store_true",
+                   help="Do not consider duplicate alignments")
+    p.add_argument("--umi", action="store_true",
+                   help="Consider UMI information when populating coverage matrices?")
+    p.add_argument("--bam-tag", dest="bam_tag", default="CB",
+                   help="BAM tag to consider for marking cells?")
+    p.add_argument("--valid-chars", dest="valid_chars", default="ATGCatgc",
+                   help="Valid characters in an alternative haplotype. This "
+                        "prevents non sequence-resolved variants from being genotyped.")
+    # --- TPU-framework extensions (additive) ---
+    p.add_argument("--backend", choices=["auto", "tpu", "cpu"], default="auto",
+                   help="Smith-Waterman scoring backend: Pallas TPU kernel, "
+                        "NumPy CPU oracle, or auto-detect")
+    return p

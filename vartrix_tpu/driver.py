@@ -1,0 +1,222 @@
+"""Top-level driver: argv -> matrices on disk.
+
+Python equivalent of the reference `_main` (/root/reference/src/main.rs:163-418),
+callable in-process for regression tests. Same validation, same metrics,
+same outputs; the compute phase is the batched TPU pipeline from
+core/pipeline.py instead of a per-variant loop.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+from typing import Dict, List, Optional
+
+from .cli import build_parser
+from .core import calls as calls_mod
+from .core.pipeline import (
+    PipelineArgs,
+    collect_reads,
+    prepare_variants,
+    score_all,
+)
+from .io.bam import BamReader
+from .io.barcodes import load_barcodes, write_barcodes
+from .io.fasta import FastaIndex, IndexedFasta
+from .io.matrix_market import TriMat, write_matrix_market
+from .io.vcf import iter_vcf_records, read_vcf_records
+from .utils.metrics import Metrics, log_metrics
+
+log = logging.getLogger("vartrix")
+
+
+def validate_output_path(p: str) -> None:
+    if os.path.exists(p):
+        log.error("Output path already exists")
+        sys.exit(1)
+    parent = os.path.dirname(p)
+    if parent and not os.path.isdir(parent):
+        log.error("Output directory %r does not exist", parent)
+        sys.exit(1)
+
+
+def check_inputs_exist(fasta_file, vcf_file, bam_file, cell_barcodes,
+                       out_matrix_path, out_ref_matrix_path) -> None:
+    for path in (fasta_file, vcf_file, bam_file, cell_barcodes):
+        if not os.path.exists(path):
+            log.error("Input file %s does not exist", path)
+            sys.exit(1)
+    for p in (out_matrix_path, out_ref_matrix_path):
+        validate_output_path(p)
+    fai = fasta_file + ".fai"
+    if not os.path.exists(fai):
+        log.error("File %s does not exist", fai)
+        sys.exit(1)
+    ext = os.path.splitext(bam_file)[1].lstrip(".")
+    if ext == "bam":
+        if not (os.path.exists(bam_file + ".bai") or os.path.exists(bam_file + ".csi")):
+            log.error("BAM index does not exist. Expecting %s or %s",
+                      bam_file + ".bai", bam_file + ".csi")
+            sys.exit(1)
+    elif ext == "cram":
+        if not os.path.exists(bam_file + ".crai"):
+            log.error("CRAM index %s does not exist", bam_file + ".crai")
+            sys.exit(1)
+    else:
+        log.error("BAM file did not end in .bam or .cram. Unable to validate")
+        sys.exit(1)
+
+
+def validate_inputs(records, bam: BamReader, fasta_index: FastaIndex) -> None:
+    """Cross-check VCF chroms against FASTA and BAM; check variant end fits
+    the chromosome (src/main.rs:545-594)."""
+    fa_seqs = {e.name for e in fasta_index.sequences()}
+    bam_seqs = set(bam.ref_names)
+    for rec in records:
+        if rec.chrom not in fa_seqs:
+            log.error("Sequence %s not seen in FASTA", rec.chrom)
+            sys.exit(1)
+        if rec.chrom not in bam_seqs:
+            log.error("Sequence %s not seen in BAM", rec.chrom)
+            sys.exit(1)
+        chrom_len = fasta_index.chrom_len(rec.chrom)
+        end = rec.pos + len(rec.ref)
+        if end > chrom_len:
+            log.error(
+                "Record %s:%d has end position %d, which is larger than the "
+                "chromosome length (%d). Does your FASTA match your VCF?",
+                rec.chrom, rec.pos, end, chrom_len)
+            sys.exit(1)
+
+
+def write_variants(out_variants: str, vcf_file: str) -> None:
+    with open(out_variants, "wt") as f:
+        for rec in iter_vcf_records(vcf_file):
+            f.write(f"{rec.chrom}_{rec.pos}\n")
+
+
+def _select_backend(name: str):
+    """Return score_batch_fn(x, y) -> scores for the requested backend."""
+    if name == "cpu":
+        from .ops.sw_numpy import sw_scores_batch
+        return sw_scores_batch
+    if name == "tpu":
+        from .ops.sw_pallas import sw_scores_batch_tpu
+        return sw_scores_batch_tpu
+    # auto
+    try:
+        import jax
+        if any(d.platform == "tpu" for d in jax.devices()):
+            from .ops.sw_pallas import sw_scores_batch_tpu
+            return sw_scores_batch_tpu
+    except Exception:
+        pass
+    from .ops.sw_numpy import sw_scores_batch
+    return sw_scores_batch
+
+
+def _main(argv: List[str]) -> None:
+    """Full run. argv excludes the program name (pass sys.argv[1:])."""
+    args = build_parser().parse_args(argv)
+
+    level = {"info": logging.INFO, "debug": logging.DEBUG, "error": logging.ERROR}[args.log_level]
+    logging.basicConfig(level=level, stream=sys.stderr,
+                        format="%(asctime)s [%(levelname)s] %(message)s")
+    log.setLevel(level)
+
+    check_inputs_exist(args.fasta, args.vcf, args.bam, args.cell_barcodes,
+                       args.out_matrix, args.ref_matrix)
+
+    cell_barcodes = load_barcodes(args.cell_barcodes)
+    records = read_vcf_records(args.vcf)
+    num_vars = len(records)
+    if num_vars == 0:
+        log.error("Warning! Zero variants found in input VCF. Output matrices "
+                  "will be by definition empty but will still be generated.")
+    info_msg = f"Initialized a {num_vars} variants x {len(cell_barcodes)} cell barcodes matrix"
+    log.info(info_msg)
+
+    matrix = TriMat((num_vars, len(cell_barcodes)))
+    ref_matrix = TriMat((num_vars, len(cell_barcodes)))
+
+    bam = BamReader(args.bam)
+    fasta = IndexedFasta(args.fasta)
+    validate_inputs(records, bam, fasta.index)
+
+    pargs = PipelineArgs(
+        primary=args.primary_alignments,
+        mapq=args.mapq,
+        duplicates=args.no_duplicates,
+        use_umi=args.umi,
+        bam_tag=args.bam_tag,
+        valid_chars=args.valid_chars.encode(),
+        padding=args.padding,
+    )
+
+    works = prepare_variants(records, fasta, pargs)
+    collect_reads(bam, works, cell_barcodes, pargs)
+    score_fn = _select_backend(args.backend)
+    per_variant_scores = score_all(works, score_fn)
+    log.debug("Finished aligning reads for all variants")
+
+    metrics = Metrics()
+    for w, sc in zip(works, per_variant_scores):
+        metrics.add(w.metrics)
+        # stable sort by cell_index (reference src/main.rs:932)
+        order = sorted(range(len(w.cell_indices)), key=lambda k: w.cell_indices[k])
+        scores = [
+            calls_mod.Scores(
+                cell_index=w.cell_indices[k],
+                umi=w.umis[k],
+                ref_score=int(sc[k, 0]),
+                alt_score=int(sc[k, 1]),
+            )
+            for k in order
+        ]
+        i = w.row
+        if args.scoring_method == "alt_frac":
+            for j, r in calls_mod.alt_frac(scores, i, pargs.use_umi):
+                matrix.add_triplet(i, j, r)
+        elif args.scoring_method == "consensus":
+            for j, r in calls_mod.consensus_scoring(scores, i, pargs.use_umi):
+                matrix.add_triplet(i, j, r)
+        elif args.scoring_method == "coverage":
+            alt_res, ref_res = calls_mod.coverage(scores, i, pargs.use_umi)
+            for j, r in alt_res:
+                matrix.add_triplet(i, j, r)
+            for j, r in ref_res:
+                ref_matrix.add_triplet(i, j, r)
+        else:
+            raise ValueError("Scoring method is invalid")
+
+    log.debug("Finished scoring alignments for all variants")
+    log_metrics(log, metrics)
+
+    write_matrix_market(args.out_matrix, matrix)
+    log.debug("Wrote out matrix file")
+
+    if args.scoring_method == "coverage":
+        write_matrix_market(args.ref_matrix, ref_matrix)
+        log.debug("Wrote reference matrix file")
+
+    if args.out_variants is not None:
+        validate_output_path(args.out_variants)
+        write_variants(args.out_variants, args.vcf)
+        log.debug("Wrote variants file")
+
+    if args.out_barcodes is not None:
+        validate_output_path(args.out_barcodes)
+        write_barcodes(args.out_barcodes, cell_barcodes)
+
+    if sum(matrix.data) == 0.0:
+        log.error("The resulting matrix has a sum of 0. Did you use the --umi "
+                  "flag on data without UMIs?")
+
+
+def main() -> None:
+    _main(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    main()

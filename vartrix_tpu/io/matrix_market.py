@@ -1,0 +1,111 @@
+"""Sparse triplet matrix + Matrix Market I/O.
+
+Reproduces the exact on-disk format the reference emits through sprs'
+`write_matrix_market` (/root/reference/src/main.rs:381-389; golden files
+/root/reference/test/*.mtx):
+
+    %%MatrixMarket matrix coordinate real general
+    % written by sprs
+    <rows> <cols> <nnz>
+    <row> <col> <value>      (1-based indices)
+
+Values are f64 printed with Rust's `Display` semantics: shortest
+round-trip representation, integral values without a decimal point,
+NaN printed as `NaN`.
+
+Comparisons in tests are CSR-canonical (duplicate triplets summed,
+entry order erased), matching the reference's own test semantics
+(src/main.rs:1232: `seen.to_csr() == expected.to_csr()`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+
+class TriMat:
+    """Triplet (COO) accumulation matrix, insertion-ordered like sprs TriMat."""
+
+    def __init__(self, shape: Tuple[int, int]):
+        self.shape = shape
+        self.rows: List[int] = []
+        self.cols: List[int] = []
+        self.data: List[float] = []
+
+    def add_triplet(self, row: int, col: int, value: float) -> None:
+        if not (0 <= row < self.shape[0] and 0 <= col < self.shape[1]):
+            raise IndexError(f"triplet ({row},{col}) outside shape {self.shape}")
+        self.rows.append(row)
+        self.cols.append(col)
+        self.data.append(float(value))
+
+    def nnz(self) -> int:
+        return len(self.data)
+
+    def to_canonical(self):
+        """CSR-canonical form: sorted unique (row, col) with duplicates summed."""
+        acc = {}
+        for r, c, v in zip(self.rows, self.cols, self.data):
+            key = (r, c)
+            acc[key] = acc.get(key, 0.0) + v
+        items = sorted(acc.items())
+        return self.shape, items
+
+
+def format_f64(v: float) -> str:
+    """Rust f64 `Display`: shortest round-trip; integral values bare; NaN."""
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "inf" if v > 0 else "-inf"
+    if v == int(v) and abs(v) < 1e16:
+        # Rust prints -0.0 as "-0"
+        s = str(int(v))
+        if s == "0" and math.copysign(1.0, v) < 0:
+            return "-0"
+        return s
+    # Python's repr is shortest-round-trip like Rust's Display, but Rust
+    # never uses exponent notation in Display (it prints all digits).
+    s = repr(v)
+    if "e" in s or "E" in s:
+        s = f"{v:.17g}"
+        if "e" in s:
+            # expand scientific notation to positional
+            s = _expand_exponent(v)
+    return s
+
+
+def _expand_exponent(v: float) -> str:
+    from decimal import Decimal
+
+    d = Decimal(repr(v))
+    return format(d, "f")
+
+
+def write_matrix_market(path: str, mat: TriMat) -> None:
+    lines = [
+        "%%MatrixMarket matrix coordinate real general\n",
+        "% written by sprs\n",
+        f"{mat.shape[0]} {mat.shape[1]} {mat.nnz()}\n",
+    ]
+    for r, c, v in zip(mat.rows, mat.cols, mat.data):
+        lines.append(f"{r + 1} {c + 1} {format_f64(v)}\n")
+    with open(path, "wt") as f:
+        f.writelines(lines)
+
+
+def read_matrix_market(path: str) -> TriMat:
+    with open(path, "rt") as f:
+        header = f.readline()
+        if "coordinate" not in header:
+            raise ValueError(f"unsupported MatrixMarket header: {header!r}")
+        line = f.readline()
+        while line.startswith("%"):
+            line = f.readline()
+        rows, cols, nnz = (int(x) for x in line.split())
+        mat = TriMat((rows, cols))
+        for _ in range(nnz):
+            parts = f.readline().split()
+            mat.add_triplet(int(parts[0]) - 1, int(parts[1]) - 1, float(parts[2]))
+        return mat
