@@ -1,0 +1,116 @@
+"""Multi-device SPMD tests on the virtual 8-device CPU mesh: the sharded
+scoring+aggregation step must reproduce the host pipeline / golden results
+exactly, independent of device placement."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from vartrix_tpu.core import device_agg
+from vartrix_tpu.core.pipeline import PipelineArgs, collect_reads, prepare_variants
+from vartrix_tpu.io.bam import BamReader
+from vartrix_tpu.io.barcodes import load_barcodes
+from vartrix_tpu.io.fasta import IndexedFasta
+from vartrix_tpu.io.matrix_market import read_matrix_market
+from vartrix_tpu.io.vcf import read_vcf_records
+from vartrix_tpu.parallel.mesh import build_sharded_step, make_mesh, pad_to_multiple
+
+T = "/root/reference/test"
+
+
+@pytest.fixture(scope="module")
+def scrna_pairs():
+    """All (read, ref_hap, alt_hap, row, cell) pairs from the scRNA test
+    dataset, packed into fixed-shape arrays."""
+    fasta = IndexedFasta(f"{T}/test.fa")
+    bam = BamReader(f"{T}/test.bam")
+    barcodes = load_barcodes(f"{T}/barcodes.tsv")
+    records = read_vcf_records(f"{T}/test.vcf")
+    args = PipelineArgs()
+    works = prepare_variants(records, fasta, args)
+    collect_reads(bam, works, barcodes, args)
+
+    lx = max(max((len(s) for s in w.read_seqs), default=1) for w in works)
+    ly = max(max(len(w.rref), len(w.alt_hap), 1) for w in works)
+    xs, yr, ya, rows, cells = [], [], [], [], []
+    for w in works:
+        for seq, cell in zip(w.read_seqs, w.cell_indices):
+            x = np.zeros(lx, np.int32)
+            x[: len(seq)] = np.frombuffer(seq, np.uint8)
+            r = np.ones(ly, np.int32)
+            r[: len(w.rref)] = np.frombuffer(w.rref, np.uint8)
+            a = np.ones(ly, np.int32)
+            a[: len(w.alt_hap)] = np.frombuffer(w.alt_hap, np.uint8)
+            xs.append(x); yr.append(r); ya.append(a)
+            rows.append(w.row); cells.append(cell)
+    return (np.array(xs), np.array(yr), np.array(ya),
+            np.array(rows, np.int32), np.array(cells, np.int32),
+            len(works), len(barcodes))
+
+
+def test_sharded_step_matches_consensus_golden(scrna_pairs):
+    xs, yr, ya, rows, cells, n_rows, n_cells = scrna_pairs
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
+    mesh = make_mesh()
+    valid = np.ones(len(xs), dtype=bool)
+    (xs_p, yr_p, ya_p, rows_p, cells_p, valid_p), _ = pad_to_multiple(
+        [xs, yr, ya, rows, cells, valid], n_dev * 8,
+        [0, 1, 1, 0, 0, False])
+    step = build_sharded_step(mesh, n_rows, n_cells)
+    counts, n_reads = step(xs_p, yr_p, ya_p, rows_p, cells_p, valid_p)
+    counts = np.asarray(counts)
+    assert int(np.asarray(n_reads)) == len(xs)
+
+    values = np.asarray(device_agg.consensus_values(counts))
+    golden = read_matrix_market(f"{T}/test_consensus.mtx")
+    dense = np.zeros((n_rows, n_cells))
+    for r, c, v in zip(golden.rows, golden.cols, golden.data):
+        dense[r, c] = v
+    np.testing.assert_array_equal(values, dense)
+
+
+def test_sharded_step_invariant_to_pair_order(scrna_pairs):
+    xs, yr, ya, rows, cells, n_rows, n_cells = scrna_pairs
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(len(xs))
+    valid = np.ones(len(xs), dtype=bool)
+    step = build_sharded_step(mesh, n_rows, n_cells)
+    args1, _ = pad_to_multiple([xs, yr, ya, rows, cells, valid], 64,
+                               [0, 1, 1, 0, 0, False])
+    args2, _ = pad_to_multiple(
+        [xs[perm], yr[perm], ya[perm], rows[perm], cells[perm], valid],
+        64, [0, 1, 1, 0, 0, False])
+    c1, _ = step(*args1)
+    c2, _ = step(*args2)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_device_calls_match_host():
+    from vartrix_tpu.core.calls import evaluate_scores
+
+    rng = np.random.default_rng(0)
+    ref = rng.integers(0, 60, 500).astype(np.int32)
+    alt = rng.integers(0, 60, 500).astype(np.int32)
+    dev = np.asarray(device_agg.calls_from_scores(ref, alt))
+    for i in range(len(ref)):
+        host = evaluate_scores(int(ref[i]), int(alt[i]))
+        expected = 0 if host is None else (3 if host == -1 else host)
+        assert dev[i] == expected
+
+
+def test_coverage_and_frac_values():
+    counts = np.zeros((1, 3, 4), np.int32)
+    counts[0, 0] = [3, 2, 1, 0]   # seen=3, ref=2, alt=1
+    counts[0, 1] = [1, 0, 0, 0]   # seen but all dropped
+    counts[0, 2] = [0, 0, 0, 0]   # never seen
+    alt_c, ref_c, has = device_agg.coverage_values(counts)
+    np.testing.assert_array_equal(np.asarray(alt_c)[0], [1, 0, 0])
+    np.testing.assert_array_equal(np.asarray(ref_c)[0], [2, 0, 0])
+    np.testing.assert_array_equal(np.asarray(has)[0], [True, True, False])
+    frac, has2 = device_agg.alt_frac_values(counts)
+    frac = np.asarray(frac)
+    assert frac[0, 0] == pytest.approx(1 / 3)
+    assert np.isnan(frac[0, 1])

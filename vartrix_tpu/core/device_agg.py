@@ -1,0 +1,80 @@
+"""Device-side call + aggregation: vectorized JAX versions of the host
+logic in core/calls.py, shaped for SPMD execution.
+
+Given per-read (ref_score, alt_score) plus (variant_row, cell_index)
+sidecars, computes call codes and reduces them into dense per-(variant,
+cell) count blocks with segment-sum — the on-device scatter-add the
+north-star design calls for. Partial counts from different pair shards
+merge by simple addition (psum across the mesh), because counts are
+linear in reads.
+
+The UMI consensus path stays host-side for now (it needs per-(cell,umi)
+grouping; exact and cheap on host) — the device path covers the non-UMI
+modes used for throughput-critical workloads.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import MIN_SCORE
+
+
+def calls_from_scores(ref_scores: jax.Array, alt_scores: jax.Array) -> jax.Array:
+    """Vectorized evaluate_scores (reference src/main.rs:1019-1030).
+    Returns int32 codes: 0 = dropped, 1 = REF, 2 = ALT, 3 = UNKNOWN.
+    (UNKNOWN is remapped from -1 to 3 so codes are one-hot friendly.)"""
+    dropped = (ref_scores < MIN_SCORE) & (alt_scores < MIN_SCORE)
+    code = jnp.where(
+        ref_scores > alt_scores, 1, jnp.where(alt_scores > ref_scores, 2, 3)
+    )
+    return jnp.where(dropped, 0, code).astype(jnp.int32)
+
+
+def count_block(
+    calls: jax.Array,       # [N] int32 codes 0..3
+    rows: jax.Array,        # [N] int32 variant row (block-local)
+    cells: jax.Array,       # [N] int32 cell index
+    valid: jax.Array,       # [N] bool (padding mask)
+    n_rows: int,
+    n_cells: int,
+) -> jax.Array:
+    """Dense [n_rows, n_cells, 4] counts of (seen, ref, alt, unk) per
+    (variant, cell). Channel 0 counts every surviving-filter read (even
+    MIN_SCORE-dropped ones) — needed to emit the reference's explicit
+    zero entries in coverage/alt_frac modes."""
+    onehot = jax.nn.one_hot(calls, 4, dtype=jnp.int32)
+    seen = jnp.ones_like(calls)[:, None]
+    feats = jnp.concatenate([seen, onehot[:, 1:]], axis=1)  # [N, 4]
+    feats = jnp.where(valid[:, None], feats, 0)
+    seg = rows * n_cells + cells
+    flat = jax.ops.segment_sum(feats, seg, num_segments=n_rows * n_cells)
+    return flat.reshape(n_rows, n_cells, 4)
+
+
+def consensus_values(counts: jax.Array) -> jax.Array:
+    """[R, C, 4] counts -> [R, C] consensus values (0 = no entry):
+    ref&alt -> 3, alt -> 2, ref -> 1 (reference src/main.rs:1111-1129)."""
+    ref, alt = counts[..., 1], counts[..., 2]
+    return jnp.where(
+        (ref > 0) & (alt > 0), 3, jnp.where(alt > 0, 2, jnp.where(ref > 0, 1, 0))
+    ).astype(jnp.float32)
+
+
+def coverage_values(counts: jax.Array):
+    """-> (alt_counts [R, C], ref_counts [R, C], has_entry [R, C])."""
+    has_entry = counts[..., 0] > 0
+    return (counts[..., 2].astype(jnp.float32),
+            counts[..., 1].astype(jnp.float32), has_entry)
+
+
+def alt_frac_values(counts: jax.Array):
+    """-> (frac [R, C] with NaN where all reads dropped, has_entry)."""
+    ref = counts[..., 1].astype(jnp.float32)
+    alt = counts[..., 2].astype(jnp.float32)
+    unk = counts[..., 3].astype(jnp.float32)
+    denom = ref + alt + unk
+    has_entry = counts[..., 0] > 0
+    return alt / denom, has_entry  # 0/0 -> NaN, matching Rust f64
