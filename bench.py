@@ -1,0 +1,137 @@
+"""Benchmark harness.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Primary metric: read-vs-haplotype Smith-Waterman alignments/sec on one TPU
+chip (the engine's hot computation, BASELINE.md north star), measured with
+the Pallas wavefront kernel on realistic shapes (150bp reads vs 201bp
+haplotypes, padded to the kernel's 152x208 tile quantization).
+
+vs_baseline: speedup over the multi-threaded CPU banded aligner
+(native/swlib.cpp — same k-mer-banded algorithm family and scoring
+parameters as the reference tool's rust-bio aligner, using all host
+cores). The reference publishes no numbers (BASELINE.md), so the baseline
+is self-measured on this host.
+
+Additional context metrics (end-to-end pipeline reads/s, CPU kernel
+throughputs) go to stderr.
+
+Note on timing: the axon TPU relay caches identical computations and its
+block_until_ready is unreliable, so every timed step consumes a unique
+on-device-generated input and the final scalar is materialized to host.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_tpu_kernel(lx=152, ly=208, B=65536, n_iter=8):
+    import jax
+    import jax.numpy as jnp
+
+    os.makedirs(os.path.expanduser("~/.cache/jax_pallas"), exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_pallas"))
+
+    from vartrix_tpu.ops.sw_pallas import _sw_pallas, _on_tpu
+
+    interpret = not _on_tpu()
+    if interpret:
+        B, n_iter = 256, 2  # CPU interpreter mode: keep it tiny
+
+    @jax.jit
+    def step(seed):
+        kx, ky = jax.random.split(jax.random.key(seed))
+        x = jax.random.randint(kx, (lx, B), 65, 69, jnp.int32)
+        y = jax.random.randint(ky, (lx + ly, B), 65, 69, jnp.int32)
+        return jnp.sum(_sw_pallas(x, y, lx=lx, ly=ly, interpret=interpret))
+
+    t0 = time.time()
+    _ = int(step(0))  # warm/compile
+    log(f"kernel compile+warm: {time.time()-t0:.1f}s (interpret={interpret})")
+
+    t0 = time.time()
+    tot = step(1)
+    for i in range(2, n_iter + 1):
+        tot = tot + step(i)
+    _ = int(tot)  # materialize => all executions complete
+    dt = (time.time() - t0) / n_iter
+    aps = B / dt
+    log(f"TPU kernel: {dt*1e3:.1f} ms/batch of {B} -> "
+        f"{aps/1e6:.3f} M alignments/s ({B*lx*ly/dt/1e9:.1f} Gcells/s)")
+    return aps
+
+
+def bench_cpu_baseline(n_pairs=20000):
+    from vartrix_tpu.ops.sw_native import banded_sw_batch_native, native_available
+
+    if not native_available():
+        log("native CPU baseline unavailable")
+        return None
+    rng = np.random.default_rng(0)
+    xs, ys = [], []
+    for _ in range(200):
+        hap = rng.choice(np.frombuffer(b"ACGT", np.uint8), 201).astype(np.uint8)
+        s = int(rng.integers(0, 51))
+        read = hap[s : s + 150].copy()
+        errs = rng.random(len(read)) < 0.01
+        read[errs] = rng.choice(np.frombuffer(b"ACGT", np.uint8), int(errs.sum()))
+        xs.append(read.tobytes())
+        ys.append(hap.tobytes())
+    xs = [xs[i % 200] for i in range(n_pairs)]
+    ys = [ys[i % 200] for i in range(n_pairs)]
+    nt = os.cpu_count() or 1
+    t0 = time.time()
+    banded_sw_batch_native(xs, ys, nt)
+    dt = time.time() - t0
+    aps = n_pairs / dt
+    log(f"CPU banded baseline ({nt} threads): {aps/1e3:.1f} k alignments/s")
+    return aps
+
+
+def bench_e2e(backend: str):
+    import tempfile
+
+    from vartrix_tpu.driver import _main
+    from vartrix_tpu.utils.synth import SynthConfig, generate_dataset
+
+    d = tempfile.mkdtemp()
+    cfg = SynthConfig(n_variants=64, n_cells=400, reads_per_variant=150, seed=7)
+    info = generate_dataset(d, cfg)
+    out = os.path.join(d, "out.mtx")
+    t0 = time.time()
+    _main(["-v", info["vcf"], "-b", info["bam"], "-f", info["fasta"],
+           "-c", info["barcodes"], "-o", out, "--backend", backend])
+    dt = time.time() - t0
+    rps = info["n_reads"] / dt
+    log(f"e2e [{backend}]: {info['n_reads']} reads in {dt:.1f}s -> {rps:.0f} reads/s")
+    return rps
+
+
+def main():
+    value = bench_tpu_kernel()
+    baseline = bench_cpu_baseline()
+    try:
+        bench_e2e("tpu")
+    except Exception as e:  # e2e context metric must not sink the bench
+        log(f"e2e bench failed: {e}")
+    vs = (value / baseline) if baseline else None
+    print(json.dumps({
+        "metric": "sw_alignments_per_sec_chip",
+        "value": round(value, 1),
+        "unit": "alignments/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Synthetic workload generation: FASTA + VCF + barcodes + BAM datasets
+with known ground truth, for benchmarks and large-scale tests.
+
+Reads are sampled from per-cell genotypes (ref/ref, ref/alt, alt/alt) with
+sequencing errors, so the expected consensus matrix is known and the
+workload exercises the same score distributions as real data.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+from ..io.bam_writer import encode_record, write_bam
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+@dataclass
+class SynthConfig:
+    n_chroms: int = 2
+    chrom_len: int = 100_000
+    n_variants: int = 100
+    n_cells: int = 200
+    reads_per_variant: int = 100
+    read_len: int = 150
+    error_rate: float = 0.005
+    indel_frac: float = 0.1
+    max_indel: int = 8
+    umi: bool = True
+    seed: int = 0
+
+
+def generate_dataset(outdir: str, cfg: SynthConfig) -> dict:
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(cfg.seed)
+
+    # --- genome ---
+    chroms = [f"chr{i+1}" for i in range(cfg.n_chroms)]
+    genome = {c: rng.choice(BASES, cfg.chrom_len).astype(np.uint8) for c in chroms}
+    fasta_path = os.path.join(outdir, "genome.fa")
+    with open(fasta_path, "wb") as f, open(fasta_path + ".fai", "wt") as fi:
+        offset = 0
+        for c in chroms:
+            hdr = f">{c}\n".encode()
+            f.write(hdr)
+            offset += len(hdr)
+            seq = genome[c].tobytes()
+            for i in range(0, len(seq), 60):
+                f.write(seq[i : i + 60] + b"\n")
+            fi.write(f"{c}\t{len(seq)}\t{offset}\t60\t61\n")
+            offset += len(seq) + len(seq) // 60 + (1 if len(seq) % 60 else 0)
+
+    # --- variants ---
+    variants = []  # (chrom_idx, pos0, ref bytes, alt bytes)
+    used = set()
+    while len(variants) < cfg.n_variants:
+        ci = int(rng.integers(0, cfg.n_chroms))
+        pos = int(rng.integers(cfg.read_len + cfg.max_indel,
+                               cfg.chrom_len - cfg.read_len - cfg.max_indel))
+        if (ci, pos) in used:
+            continue
+        # keep variants separated so reads overlap a single variant
+        if any(c == ci and abs(p - pos) < 2 * cfg.read_len for c, p, *_ in variants):
+            continue
+        used.add((ci, pos))
+        g = genome[chroms[ci]]
+        r = rng.random()
+        if r < 1 - cfg.indel_frac:  # SNV
+            ref = g[pos : pos + 1].tobytes()
+            alt = BASES[(int(np.searchsorted(BASES, ref[0])) + int(rng.integers(1, 4))) % 4 :][:1].tobytes()
+            if alt == ref:
+                alt = BASES[(BASES.tolist().index(ref[0]) + 1) % 4 :][:1].tobytes()
+        elif r < 1 - cfg.indel_frac / 2:  # deletion
+            dl = int(rng.integers(1, cfg.max_indel + 1))
+            ref = g[pos : pos + dl + 1].tobytes()
+            alt = ref[:1]
+        else:  # insertion
+            il = int(rng.integers(1, cfg.max_indel + 1))
+            ref = g[pos : pos + 1].tobytes()
+            alt = ref + rng.choice(BASES, il).astype(np.uint8).tobytes()
+        variants.append((ci, pos, ref, alt))
+    variants.sort(key=lambda v: (v[0], v[1]))
+
+    vcf_path = os.path.join(outdir, "variants.vcf")
+    with open(vcf_path, "wt") as f:
+        f.write("##fileformat=VCFv4.2\n")
+        for c in chroms:
+            f.write(f"##contig=<ID={c},length={cfg.chrom_len}>\n")
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for ci, pos, ref, alt in variants:
+            f.write(f"{chroms[ci]}\t{pos + 1}\t.\t{ref.decode()}\t{alt.decode()}\t.\t.\t.\n")
+
+    # --- cells + genotypes ---
+    bc_pool = rng.choice(BASES, (cfg.n_cells, 16)).astype(np.uint8)
+    barcodes = [bc_pool[i].tobytes().decode() + "-1" for i in range(cfg.n_cells)]
+    bc_path = os.path.join(outdir, "barcodes.tsv")
+    with open(bc_path, "wt") as f:
+        f.write("\n".join(barcodes) + "\n")
+    # genotype per (variant, cell): 0=ref/ref, 1=het, 2=alt/alt
+    genotypes = rng.integers(0, 3, (cfg.n_variants, cfg.n_cells)).astype(np.int8)
+
+    # --- reads ---
+    records_by_coord = []
+    read_id = 0
+    for vi, (ci, pos, ref, alt) in enumerate(variants):
+        g = genome[chroms[ci]]
+        # alt chromosome segment around the variant
+        lo = pos - cfg.read_len - cfg.max_indel
+        hi = pos + len(ref) + cfg.read_len + cfg.max_indel
+        ref_seg = g[lo:hi]
+        alt_seg = np.concatenate(
+            [g[lo:pos], np.frombuffer(alt, np.uint8), g[pos + len(ref) : hi]]
+        )
+        for _ in range(cfg.reads_per_variant):
+            cell = int(rng.integers(0, cfg.n_cells))
+            gt = genotypes[vi, cell]
+            is_alt = bool(rng.random() < (0.0, 0.5, 1.0)[gt])
+            seg = alt_seg if is_alt else ref_seg
+            # read start in segment coords; ensure overlap with the locus
+            start_min = max(0, (pos - lo) - cfg.read_len + 1)
+            start_max = pos - lo
+            s = int(rng.integers(start_min, start_max + 1))
+            seq = seg[s : s + cfg.read_len].copy()
+            errs = rng.random(len(seq)) < cfg.error_rate
+            if errs.any():
+                seq[errs] = rng.choice(BASES, int(errs.sum()))
+            # map the read at its segment position on the REF coordinate
+            # system (alt reads keep their nominal start; clamp into chrom)
+            map_pos = lo + s
+            flag = 16 if rng.random() < 0.5 else 0
+            tags = [(b"CB", barcodes[cell].encode())]
+            if cfg.umi:
+                umi = rng.choice(BASES, 10).astype(np.uint8).tobytes()
+                tags.append((b"UB", umi))
+            rec = encode_record(
+                qname=f"r{read_id}".encode(),
+                flag=flag,
+                tid=ci,
+                pos=map_pos,
+                mapq=int(rng.integers(30, 61)),
+                cigar=[(0, len(seq))],
+                seq=seq.tobytes(),
+                tags=tags,
+            )
+            records_by_coord.append((ci, map_pos, rec))
+            read_id += 1
+
+    records_by_coord.sort(key=lambda t: (t[0], t[1]))
+    bam_path = os.path.join(outdir, "reads.bam")
+    write_bam(bam_path, [(c, cfg.chrom_len) for c in chroms],
+              [r for _, _, r in records_by_coord])
+
+    return {
+        "fasta": fasta_path,
+        "vcf": vcf_path,
+        "bam": bam_path,
+        "barcodes": bc_path,
+        "n_reads": read_id,
+        "genotypes": genotypes,
+        "variants": variants,
+        "chroms": chroms,
+    }
