@@ -1,0 +1,389 @@
+// libgenomio: native genomics-file runtime for the TPU pipeline.
+//
+// Re-provides the htslib capabilities the reference consumes via
+// rust-htslib (/root/reference/src/main.rs:260-264,822-896), redesigned
+// for batch processing: instead of a per-record iterator API, the whole
+// BAM is decoded in one parallel pass into COLUMNAR arrays (structure of
+// arrays) that Python wraps as zero-copy NumPy views and the pipeline
+// consumes with vectorized operations.
+//
+//   * BGZF: block boundaries scanned serially (cheap), blocks inflated in
+//     parallel with zlib raw-deflate.
+//   * BAM records: offsets indexed serially (block_size hops), then
+//     decoded in parallel: positions/flags/mapq, decoded sequence chars,
+//     CIGAR-derived ref_end, aligned-reference intervals (M/=/X/D merged,
+//     N splits — the useful_alignment semantics of src/main.rs:790-806),
+//     and the CB-configurable / UB aux Z-tags.
+//
+// C ABI for ctypes; buffers are owned by the handle and freed with it.
+//
+// Build: native/build.sh -> vartrix_tpu/_native/libgenomio.so
+
+#include <zlib.h>
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+const char SEQ_NT16[17] = "=ACMGRSVTWYHKDBN";
+
+struct RefInfo {
+  std::string name;
+  int32_t len;
+};
+
+template <typename F>
+void parallel_chunks(int64_t n, int n_threads, F&& body) {
+  if (n_threads <= 1 || n < 2) {
+    body(0, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  int64_t per = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * per, hi = std::min(n, lo + per);
+    if (lo >= hi) break;
+    pool.emplace_back([&, lo, hi] { body(lo, hi); });
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
+struct GioBam {
+  std::vector<RefInfo> refs;
+  int64_t n = 0;
+  // columnar record data
+  std::vector<int32_t> tid, pos, ref_end;
+  std::vector<uint8_t> mapq;
+  std::vector<uint16_t> flag;
+  std::vector<int64_t> seq_off;   // n+1
+  std::vector<uint8_t> seq_pool;  // decoded chars
+  std::vector<int64_t> itv_off;   // n+1, into itv_pool (pairs)
+  std::vector<int32_t> itv_pool;  // [start, end) aligned-ref intervals
+  std::vector<int64_t> cb_off;    // n+1
+  std::vector<uint8_t> cb_pool;
+  std::vector<int64_t> ub_off;    // n+1
+  std::vector<uint8_t> ub_pool;
+  std::string error;
+};
+
+namespace {
+
+bool inflate_block(const uint8_t* src, size_t src_len, uint8_t* dst,
+                   size_t dst_len) {
+  z_stream zs{};
+  if (inflateInit2(&zs, -15) != Z_OK) return false;
+  zs.next_in = const_cast<uint8_t*>(src);
+  zs.avail_in = (uInt)src_len;
+  zs.next_out = dst;
+  zs.avail_out = (uInt)dst_len;
+  int ret = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  return ret == Z_STREAM_END && zs.avail_out == 0;
+}
+
+// scan a record's aux fields for two Z-tags
+void scan_aux(const uint8_t* p, const uint8_t* end, const char* tag1,
+              const char* tag2, const uint8_t** v1, int32_t* l1,
+              const uint8_t** v2, int32_t* l2) {
+  *v1 = *v2 = nullptr;
+  *l1 = *l2 = 0;
+  while (p + 3 <= end) {
+    char t0 = (char)p[0], t1 = (char)p[1], typ = (char)p[2];
+    p += 3;
+    switch (typ) {
+      case 'Z':
+      case 'H': {
+        const uint8_t* s = p;
+        while (p < end && *p) ++p;
+        if (typ == 'Z') {
+          if (t0 == tag1[0] && t1 == tag1[1]) { *v1 = s; *l1 = (int32_t)(p - s); }
+          if (t0 == tag2[0] && t1 == tag2[1]) { *v2 = s; *l2 = (int32_t)(p - s); }
+        }
+        ++p;  // NUL
+        break;
+      }
+      case 'A': case 'c': case 'C': p += 1; break;
+      case 's': case 'S': p += 2; break;
+      case 'i': case 'I': case 'f': p += 4; break;
+      case 'B': {
+        if (p + 5 > end) return;
+        char sub = (char)p[0];
+        int32_t cnt;
+        memcpy(&cnt, p + 1, 4);
+        int sz = (sub == 'c' || sub == 'C') ? 1 : (sub == 's' || sub == 'S') ? 2 : 4;
+        p += 5 + (int64_t)cnt * sz;
+        break;
+      }
+      default:
+        return;  // unknown tag type: stop scanning this record
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+GioBam* gio_bam_load(const char* path, const char* cb_tag, int n_threads) {
+  auto* h = new GioBam();
+  FILE* f = fopen(path, "rb");
+  if (!f) { h->error = "cannot open file"; return h; }
+  fseek(f, 0, SEEK_END);
+  long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> raw((size_t)fsize);
+  if (fread(raw.data(), 1, (size_t)fsize, f) != (size_t)fsize) {
+    fclose(f);
+    h->error = "short read";
+    return h;
+  }
+  fclose(f);
+
+  // --- pass 1: BGZF block boundaries ---
+  struct Block { size_t src_off, src_len, dst_off, dst_len; };
+  std::vector<Block> blocks;
+  size_t pos = 0, total = 0;
+  while (pos + 28 <= raw.size()) {
+    if (!(raw[pos] == 0x1f && raw[pos + 1] == 0x8b && raw[pos + 2] == 8 &&
+          (raw[pos + 3] & 4))) {
+      h->error = "not BGZF at offset " + std::to_string(pos);
+      return h;
+    }
+    uint16_t xlen;
+    memcpy(&xlen, raw.data() + pos + 10, 2);
+    size_t xoff = pos + 12, xend = xoff + xlen;
+    uint32_t bsize = 0;
+    while (xoff + 4 <= xend) {
+      uint16_t slen;
+      memcpy(&slen, raw.data() + xoff + 2, 2);
+      if (raw[xoff] == 'B' && raw[xoff + 1] == 'C' && slen == 2) {
+        uint16_t bs;
+        memcpy(&bs, raw.data() + xoff + 4, 2);
+        bsize = (uint32_t)bs + 1;
+      }
+      xoff += 4 + slen;
+    }
+    if (!bsize) { h->error = "missing BC subfield"; return h; }
+    uint32_t isize;
+    memcpy(&isize, raw.data() + pos + bsize - 4, 4);
+    blocks.push_back({xend, bsize - (xend - pos) - 8, total, isize});
+    total += isize;
+    pos += bsize;
+  }
+
+  // --- pass 2: parallel inflate ---
+  std::vector<uint8_t> data(total);
+  std::atomic<bool> ok(true);
+  parallel_chunks((int64_t)blocks.size(), n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t b = lo; b < hi; ++b) {
+      const Block& bl = blocks[b];
+      if (bl.dst_len == 0) continue;
+      if (!inflate_block(raw.data() + bl.src_off, bl.src_len,
+                         data.data() + bl.dst_off, bl.dst_len))
+        ok = false;
+    }
+  });
+  if (!ok) { h->error = "BGZF inflate failure"; return h; }
+  raw.clear();
+  raw.shrink_to_fit();
+
+  // --- header ---
+  if (data.size() < 12 || memcmp(data.data(), "BAM\x01", 4) != 0) {
+    h->error = "not a BAM stream";
+    return h;
+  }
+  int32_t l_text;
+  memcpy(&l_text, data.data() + 4, 4);
+  size_t off = 8 + (size_t)l_text;
+  int32_t n_ref;
+  memcpy(&n_ref, data.data() + off, 4);
+  off += 4;
+  for (int32_t i = 0; i < n_ref; ++i) {
+    int32_t l_name;
+    memcpy(&l_name, data.data() + off, 4);
+    std::string name((const char*)data.data() + off + 4, (size_t)l_name - 1);
+    int32_t l_ref;
+    memcpy(&l_ref, data.data() + off + 4 + l_name, 4);
+    h->refs.push_back({name, l_ref});
+    off += 8 + l_name;
+  }
+
+  // --- pass 3: index record offsets ---
+  std::vector<size_t> rec_off;
+  {
+    size_t p = off;
+    while (p + 4 <= data.size()) {
+      int32_t bs;
+      memcpy(&bs, data.data() + p, 4);
+      if (bs <= 0 || p + 4 + (size_t)bs > data.size()) break;
+      rec_off.push_back(p);
+      p += 4 + (size_t)bs;
+    }
+  }
+  int64_t n = (int64_t)rec_off.size();
+  h->n = n;
+  h->tid.resize(n);
+  h->pos.resize(n);
+  h->ref_end.resize(n);
+  h->mapq.resize(n);
+  h->flag.resize(n);
+  h->seq_off.resize(n + 1);
+  h->itv_off.resize(n + 1);
+  h->cb_off.resize(n + 1);
+  h->ub_off.resize(n + 1);
+
+  // --- pass 4a: per-record sizes (parallel) for pool offsets ---
+  std::vector<int32_t> seq_len(n), itv_cnt(n), cb_len(n), ub_len(n);
+  const char* ub_tag = "UB";
+  parallel_chunks(n, n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint8_t* r = data.data() + rec_off[i];
+      int32_t bs;
+      memcpy(&bs, r, 4);
+      const uint8_t* body = r + 4;
+      const uint8_t* bend = body + bs;
+      int32_t l_seq;
+      uint8_t l_read_name = body[8];
+      uint16_t n_cigar;
+      memcpy(&n_cigar, body + 12, 2);
+      memcpy(&l_seq, body + 16, 4);
+      seq_len[i] = l_seq;
+      const uint8_t* cig = body + 32 + l_read_name;
+      // count aligned intervals: runs of M/=/X/D separated by N
+      int cnt = 0;
+      bool open = false;
+      for (uint16_t c = 0; c < n_cigar; ++c) {
+        uint32_t v;
+        memcpy(&v, cig + 4 * c, 4);
+        uint32_t op = v & 0xF;
+        if (op == 0 || op == 7 || op == 8 || op == 2) {
+          if (!open) { ++cnt; open = true; }
+        } else if (op == 3) {
+          open = false;
+        }
+      }
+      itv_cnt[i] = cnt;
+      const uint8_t* aux = cig + 4 * n_cigar + (l_seq + 1) / 2 + l_seq;
+      const uint8_t *v1, *v2;
+      int32_t l1, l2;
+      scan_aux(aux, bend, cb_tag, ub_tag, &v1, &l1, &v2, &l2);
+      cb_len[i] = l1;
+      ub_len[i] = l2;
+    }
+  });
+  h->seq_off[0] = h->itv_off[0] = h->cb_off[0] = h->ub_off[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    h->seq_off[i + 1] = h->seq_off[i] + seq_len[i];
+    h->itv_off[i + 1] = h->itv_off[i] + itv_cnt[i];
+    h->cb_off[i + 1] = h->cb_off[i] + cb_len[i];
+    h->ub_off[i + 1] = h->ub_off[i] + ub_len[i];
+  }
+  h->seq_pool.resize((size_t)h->seq_off[n]);
+  h->itv_pool.resize((size_t)h->itv_off[n] * 2);
+  h->cb_pool.resize((size_t)h->cb_off[n]);
+  h->ub_pool.resize((size_t)h->ub_off[n]);
+
+  // --- pass 4b: full decode (parallel) ---
+  parallel_chunks(n, n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint8_t* r = data.data() + rec_off[i];
+      int32_t bs;
+      memcpy(&bs, r, 4);
+      const uint8_t* body = r + 4;
+      const uint8_t* bend = body + bs;
+      int32_t refid, p0, l_seq;
+      memcpy(&refid, body, 4);
+      memcpy(&p0, body + 4, 4);
+      uint8_t l_read_name = body[8];
+      h->mapq[i] = body[9];
+      uint16_t n_cigar, flg;
+      memcpy(&n_cigar, body + 12, 2);
+      memcpy(&flg, body + 14, 2);
+      memcpy(&l_seq, body + 16, 4);
+      h->tid[i] = refid;
+      h->pos[i] = p0;
+      h->flag[i] = flg;
+      const uint8_t* cig = body + 32 + l_read_name;
+      // ref_end + aligned intervals
+      int32_t rp = p0;
+      int64_t iv = h->itv_off[i] * 2;
+      bool open = false;
+      int32_t ref_len = 0;
+      for (uint16_t c = 0; c < n_cigar; ++c) {
+        uint32_t v;
+        memcpy(&v, cig + 4 * c, 4);
+        uint32_t op = v & 0xF;
+        int32_t l = (int32_t)(v >> 4);
+        bool consumes_ref = (op == 0 || op == 2 || op == 3 || op == 7 || op == 8);
+        bool aligned = (op == 0 || op == 2 || op == 7 || op == 8);
+        if (aligned) {
+          if (!open) {
+            h->itv_pool[iv] = rp;
+            h->itv_pool[iv + 1] = rp + l;
+            open = true;
+          } else {
+            h->itv_pool[iv + 1] = rp + l;
+          }
+        } else if (op == 3 && open) {
+          iv += 2;
+          open = false;
+        }
+        if (consumes_ref) {
+          rp += l;
+          ref_len += l;
+        }
+      }
+      h->ref_end[i] = ref_len > 0 ? p0 + ref_len : p0 + 1;
+      // sequence decode
+      const uint8_t* sq = cig + 4 * n_cigar;
+      uint8_t* out = h->seq_pool.data() + h->seq_off[i];
+      for (int32_t s = 0; s < l_seq; ++s) {
+        uint8_t b = sq[s >> 1];
+        out[s] = (uint8_t)SEQ_NT16[(s & 1) ? (b & 0xF) : (b >> 4)];
+      }
+      // aux tags
+      const uint8_t* aux = sq + (l_seq + 1) / 2 + l_seq;
+      const uint8_t *v1, *v2;
+      int32_t l1, l2;
+      scan_aux(aux, bend, cb_tag, "UB", &v1, &l1, &v2, &l2);
+      if (l1) memcpy(h->cb_pool.data() + h->cb_off[i], v1, (size_t)l1);
+      if (l2) memcpy(h->ub_pool.data() + h->ub_off[i], v2, (size_t)l2);
+    }
+  });
+  return h;
+}
+
+void gio_bam_free(GioBam* h) { delete h; }
+
+const char* gio_bam_error(GioBam* h) {
+  return h->error.empty() ? nullptr : h->error.c_str();
+}
+
+int64_t gio_bam_n_records(GioBam* h) { return h->n; }
+int32_t gio_bam_n_refs(GioBam* h) { return (int32_t)h->refs.size(); }
+const char* gio_bam_ref_name(GioBam* h, int32_t i) { return h->refs[i].name.c_str(); }
+int32_t gio_bam_ref_len(GioBam* h, int32_t i) { return h->refs[i].len; }
+
+const int32_t* gio_bam_tid(GioBam* h) { return h->tid.data(); }
+const int32_t* gio_bam_pos(GioBam* h) { return h->pos.data(); }
+const int32_t* gio_bam_ref_end(GioBam* h) { return h->ref_end.data(); }
+const uint8_t* gio_bam_mapq(GioBam* h) { return h->mapq.data(); }
+const uint16_t* gio_bam_flag(GioBam* h) { return h->flag.data(); }
+const int64_t* gio_bam_seq_off(GioBam* h) { return h->seq_off.data(); }
+const uint8_t* gio_bam_seq_pool(GioBam* h) { return h->seq_pool.data(); }
+const int64_t* gio_bam_itv_off(GioBam* h) { return h->itv_off.data(); }
+const int32_t* gio_bam_itv_pool(GioBam* h) { return h->itv_pool.data(); }
+const int64_t* gio_bam_cb_off(GioBam* h) { return h->cb_off.data(); }
+const uint8_t* gio_bam_cb_pool(GioBam* h) { return h->cb_pool.data(); }
+const int64_t* gio_bam_ub_off(GioBam* h) { return h->ub_off.data(); }
+const uint8_t* gio_bam_ub_pool(GioBam* h) { return h->ub_pool.data(); }
+
+}  // extern "C"

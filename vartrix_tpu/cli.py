@@ -70,7 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Valid characters in an alternative haplotype. This "
                         "prevents non sequence-resolved variants from being genotyped.")
     # --- TPU-framework extensions (additive) ---
-    p.add_argument("--backend", choices=["auto", "tpu", "cpu"], default="auto",
+    p.add_argument("--backend", choices=["auto", "tpu", "cpu", "xla"], default="auto",
                    help="Smith-Waterman scoring backend: Pallas TPU kernel, "
-                        "NumPy CPU oracle, or auto-detect")
+                        "NumPy CPU oracle, portable XLA, or auto-detect")
+    p.add_argument("--host", choices=["auto", "native", "python"], default="auto",
+                   help="Host-side BAM runtime: native columnar decoder "
+                        "(libgenomio C++) or pure-Python reference path")
     return p

@@ -1,0 +1,92 @@
+"""Vectorized (NumPy) per-variant aggregation: scores -> matrix values.
+
+Array implementation of core/calls.py with identical semantics
+(reference src/main.rs:1019-1164):
+  * every cell with >= 1 filter-surviving read forms a group, even if all
+    its reads are MIN_SCORE-dropped (explicit zeros / NaN entries);
+  * UMI consensus per (cell, umi) at the 0.75 threshold, f64 fractions,
+    unknowns in denominators;
+  * entry order per variant is ascending cell index (the reference's
+    group_by over cell-sorted scores yields the same; comparisons are
+    CSR-canonical anyway).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Tuple
+
+import numpy as np
+
+from ..constants import CONSENSUS_THRESHOLD, MIN_SCORE
+
+log = logging.getLogger("vartrix")
+
+
+def _cell_counts(cells, umis, scores2, use_umi):
+    """-> (seen_cells sorted, ref_count, alt_count, unk_count per cell)."""
+    r, a = scores2[:, 0], scores2[:, 1]
+    drop = (r < MIN_SCORE) & (a < MIN_SCORE)
+    call = np.where(r > a, 1, np.where(a > r, 2, -1)).astype(np.int8)
+    seen_cells = np.unique(cells)
+    kept = ~drop
+    kc = cells[kept]
+    kcall = call[kept]
+    if use_umi:
+        ku = umis[kept]
+        key = kc.astype(np.int64) * (1 << 40) ^ ku  # umi ids are per-file dense
+        uk, inv = np.unique(key, return_inverse=True)
+        nu = len(uk)
+        refc = np.bincount(inv, weights=(kcall == 1), minlength=nu)
+        altc = np.bincount(inv, weights=(kcall == 2), minlength=nu)
+        unkc = np.bincount(inv, weights=(kcall == -1), minlength=nu)
+        tot = refc + altc + unkc
+        with np.errstate(invalid="ignore", divide="ignore"):
+            reff = refc / tot
+            altf = altc / tot
+        ucall = np.where(
+            altf >= CONSENSUS_THRESHOLD, 2,
+            np.where(reff >= CONSENSUS_THRESHOLD, 1, -1)).astype(np.int8)
+        gcell = np.right_shift(uk, 40).astype(cells.dtype)  # umi ids < 2^40
+    else:
+        ucall = kcall
+        gcell = kc
+    pos = np.searchsorted(seen_cells, gcell)
+    nsc = len(seen_cells)
+    ref_count = np.bincount(pos, weights=(ucall == 1), minlength=nsc).astype(np.int64)
+    alt_count = np.bincount(pos, weights=(ucall == 2), minlength=nsc).astype(np.int64)
+    unk_count = np.bincount(pos, weights=(ucall == -1), minlength=nsc).astype(np.int64)
+    return seen_cells, ref_count, alt_count, unk_count
+
+
+def _warn_unknowns(i, seen_cells, unk_count):
+    if log.isEnabledFor(logging.INFO):
+        for c in seen_cells[unk_count > 1]:
+            log.info(
+                "Variant at index %d has multiple unknown reads at barcode "
+                "index %d. Check this locus manually", i, int(c))
+
+
+def consensus_vec(cells, umis, scores2, i, use_umi) -> Tuple[np.ndarray, np.ndarray]:
+    seen, ref_c, alt_c, unk_c = _cell_counts(cells, umis, scores2, use_umi)
+    _warn_unknowns(i, seen, unk_c)
+    vals = np.where(
+        (ref_c > 0) & (alt_c > 0), 3.0,
+        np.where(alt_c > 0, 2.0, np.where(ref_c > 0, 1.0, 0.0)))
+    mask = vals > 0
+    return seen[mask], vals[mask]
+
+
+def alt_frac_vec(cells, umis, scores2, i, use_umi) -> Tuple[np.ndarray, np.ndarray]:
+    seen, ref_c, alt_c, unk_c = _cell_counts(cells, umis, scores2, use_umi)
+    _warn_unknowns(i, seen, unk_c)
+    denom = (ref_c + alt_c + unk_c).astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vals = alt_c / denom  # 0/0 -> NaN, preserved
+    return seen, vals
+
+
+def coverage_vec(cells, umis, scores2, i, use_umi):
+    seen, ref_c, alt_c, unk_c = _cell_counts(cells, umis, scores2, use_umi)
+    _warn_unknowns(i, seen, unk_c)
+    return seen, alt_c.astype(np.float64), ref_c.astype(np.float64)

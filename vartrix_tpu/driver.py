@@ -96,6 +96,14 @@ def write_variants(out_variants: str, vcf_file: str) -> None:
             f.write(f"{rec.chrom}_{rec.pos}\n")
 
 
+def _native_host_available() -> bool:
+    try:
+        from .io.bam_native import native_available
+        return native_available()
+    except Exception:
+        return False
+
+
 def _select_backend(name: str):
     """Return score_batch_fn(x, y) -> scores for the requested backend."""
     if name == "cpu":
@@ -104,6 +112,9 @@ def _select_backend(name: str):
     if name == "tpu":
         from .ops.sw_pallas import sw_scores_batch_tpu
         return sw_scores_batch_tpu
+    if name == "xla":
+        from .ops.sw_xla import sw_scores_batch_xla
+        return sw_scores_batch_xla
     # auto
     try:
         import jax
@@ -155,40 +166,79 @@ def _main(argv: List[str]) -> None:
     )
 
     works = prepare_variants(records, fasta, pargs)
-    collect_reads(bam, works, cell_barcodes, pargs)
     score_fn = _select_backend(args.backend)
-    per_variant_scores = score_all(works, score_fn)
-    log.debug("Finished aligning reads for all variants")
 
-    metrics = Metrics()
-    for w, sc in zip(works, per_variant_scores):
-        metrics.add(w.metrics)
-        # stable sort by cell_index (reference src/main.rs:932)
-        order = sorted(range(len(w.cell_indices)), key=lambda k: w.cell_indices[k])
-        scores = [
-            calls_mod.Scores(
-                cell_index=w.cell_indices[k],
-                umi=w.umis[k],
-                ref_score=int(sc[k, 0]),
-                alt_score=int(sc[k, 1]),
-            )
-            for k in order
-        ]
-        i = w.row
-        if args.scoring_method == "alt_frac":
-            for j, r in calls_mod.alt_frac(scores, i, pargs.use_umi):
-                matrix.add_triplet(i, j, r)
-        elif args.scoring_method == "consensus":
-            for j, r in calls_mod.consensus_scoring(scores, i, pargs.use_umi):
-                matrix.add_triplet(i, j, r)
-        elif args.scoring_method == "coverage":
-            alt_res, ref_res = calls_mod.coverage(scores, i, pargs.use_umi)
-            for j, r in alt_res:
-                matrix.add_triplet(i, j, r)
-            for j, r in ref_res:
-                ref_matrix.add_triplet(i, j, r)
-        else:
-            raise ValueError("Scoring method is invalid")
+    use_native = args.host in ("auto", "native") and _native_host_available()
+    if args.host == "native" and not use_native:
+        log.error("native host runtime requested but libgenomio unavailable")
+        sys.exit(1)
+
+    if use_native:
+        from .core import agg_numpy
+        from .core.fast_pipeline import collect_reads_fast, score_all_fast
+        from .io.bam_native import ColumnarBam
+
+        cbam = ColumnarBam(args.bam, pargs.bam_tag.encode(),
+                           n_threads=max(args.threads, 1))
+        read_idx, cells_l, umis_l = collect_reads_fast(
+            cbam, works, cell_barcodes, pargs)
+        per_variant_scores = score_all_fast(cbam, works, read_idx, score_fn)
+        log.debug("Finished aligning reads for all variants")
+
+        metrics = Metrics()
+        for w, cells, umis, sc in zip(works, cells_l, umis_l, per_variant_scores):
+            metrics.add(w.metrics)
+            i = w.row
+            if args.scoring_method == "alt_frac":
+                cols, vals = agg_numpy.alt_frac_vec(cells, umis, sc, i, pargs.use_umi)
+                for j, r in zip(cols, vals):
+                    matrix.add_triplet(i, int(j), float(r))
+            elif args.scoring_method == "consensus":
+                cols, vals = agg_numpy.consensus_vec(cells, umis, sc, i, pargs.use_umi)
+                for j, r in zip(cols, vals):
+                    matrix.add_triplet(i, int(j), float(r))
+            elif args.scoring_method == "coverage":
+                cols, alt_vals, ref_vals = agg_numpy.coverage_vec(
+                    cells, umis, sc, i, pargs.use_umi)
+                for j, av, rv in zip(cols, alt_vals, ref_vals):
+                    matrix.add_triplet(i, int(j), float(av))
+                    ref_matrix.add_triplet(i, int(j), float(rv))
+            else:
+                raise ValueError("Scoring method is invalid")
+    else:
+        collect_reads(bam, works, cell_barcodes, pargs)
+        per_variant_scores = score_all(works, score_fn)
+        log.debug("Finished aligning reads for all variants")
+
+        metrics = Metrics()
+        for w, sc in zip(works, per_variant_scores):
+            metrics.add(w.metrics)
+            # stable sort by cell_index (reference src/main.rs:932)
+            order = sorted(range(len(w.cell_indices)), key=lambda k: w.cell_indices[k])
+            scores = [
+                calls_mod.Scores(
+                    cell_index=w.cell_indices[k],
+                    umi=w.umis[k],
+                    ref_score=int(sc[k, 0]),
+                    alt_score=int(sc[k, 1]),
+                )
+                for k in order
+            ]
+            i = w.row
+            if args.scoring_method == "alt_frac":
+                for j, r in calls_mod.alt_frac(scores, i, pargs.use_umi):
+                    matrix.add_triplet(i, j, r)
+            elif args.scoring_method == "consensus":
+                for j, r in calls_mod.consensus_scoring(scores, i, pargs.use_umi):
+                    matrix.add_triplet(i, j, r)
+            elif args.scoring_method == "coverage":
+                alt_res, ref_res = calls_mod.coverage(scores, i, pargs.use_umi)
+                for j, r in alt_res:
+                    matrix.add_triplet(i, j, r)
+                for j, r in ref_res:
+                    ref_matrix.add_triplet(i, j, r)
+            else:
+                raise ValueError("Scoring method is invalid")
 
     log.debug("Finished scoring alignments for all variants")
     log_metrics(log, metrics)

@@ -1,0 +1,157 @@
+"""ctypes wrapper for libgenomio (native/genomio.cpp): whole-BAM parallel
+decode into columnar NumPy arrays.
+
+This is the performance host path: one call decodes BGZF + all records
+into structure-of-arrays buffers (positions, flags, decoded sequences,
+aligned-reference intervals, CB/UB tag values) that the vectorized
+pipeline consumes. Validated record-for-record against the pure-Python
+reader (io/bam.py) in tests.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "_native", "libgenomio.so")
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> None:
+    script = os.path.join(os.path.dirname(__file__), "..", "..", "native", "build.sh")
+    subprocess.run(["bash", script], check=True, capture_output=True)
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        if not os.path.exists(_LIB_PATH):
+            _build()
+        lib = ctypes.CDLL(os.path.abspath(_LIB_PATH))
+        vp = ctypes.c_void_p
+        lib.gio_bam_load.restype = vp
+        lib.gio_bam_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+        lib.gio_bam_free.argtypes = [vp]
+        lib.gio_bam_error.restype = ctypes.c_char_p
+        lib.gio_bam_error.argtypes = [vp]
+        lib.gio_bam_n_records.restype = ctypes.c_int64
+        lib.gio_bam_n_records.argtypes = [vp]
+        lib.gio_bam_n_refs.restype = ctypes.c_int32
+        lib.gio_bam_n_refs.argtypes = [vp]
+        lib.gio_bam_ref_name.restype = ctypes.c_char_p
+        lib.gio_bam_ref_name.argtypes = [vp, ctypes.c_int32]
+        lib.gio_bam_ref_len.restype = ctypes.c_int32
+        lib.gio_bam_ref_len.argtypes = [vp, ctypes.c_int32]
+        ptr_specs = {
+            "gio_bam_tid": ctypes.c_int32, "gio_bam_pos": ctypes.c_int32,
+            "gio_bam_ref_end": ctypes.c_int32, "gio_bam_mapq": ctypes.c_uint8,
+            "gio_bam_flag": ctypes.c_uint16, "gio_bam_seq_off": ctypes.c_int64,
+            "gio_bam_seq_pool": ctypes.c_uint8, "gio_bam_itv_off": ctypes.c_int64,
+            "gio_bam_itv_pool": ctypes.c_int32, "gio_bam_cb_off": ctypes.c_int64,
+            "gio_bam_cb_pool": ctypes.c_uint8, "gio_bam_ub_off": ctypes.c_int64,
+            "gio_bam_ub_pool": ctypes.c_uint8,
+        }
+        for name, ct in ptr_specs.items():
+            getattr(lib, name).restype = ctypes.POINTER(ct)
+            getattr(lib, name).argtypes = [vp]
+        _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    try:
+        get_lib()
+        return True
+    except Exception:
+        return False
+
+
+class ColumnarBam:
+    """Columnar view of a fully-decoded BAM."""
+
+    def __init__(self, path: str, cb_tag: bytes = b"CB", n_threads: int = 0):
+        lib = get_lib()
+        if n_threads <= 0:
+            n_threads = os.cpu_count() or 1
+        self._lib = lib
+        self._h = lib.gio_bam_load(path.encode(), cb_tag, n_threads)
+        err = lib.gio_bam_error(self._h)
+        if err:
+            raise IOError(f"{path}: {err.decode()}")
+        n = lib.gio_bam_n_records(self._h)
+        self.n = int(n)
+        self.ref_names = [lib.gio_bam_ref_name(self._h, i).decode()
+                          for i in range(lib.gio_bam_n_refs(self._h))]
+        self.ref_lens = [int(lib.gio_bam_ref_len(self._h, i))
+                         for i in range(lib.gio_bam_n_refs(self._h))]
+        self.tid_by_name = {nm: i for i, nm in enumerate(self.ref_names)}
+
+        def arr(name, count):
+            if count == 0:
+                return np.zeros(0, dtype=np.ctypeslib.as_array(
+                    getattr(lib, name)(self._h), (1,)).dtype)
+            return np.ctypeslib.as_array(getattr(lib, name)(self._h), (count,))
+
+        self.tid = arr("gio_bam_tid", n)
+        self.pos = arr("gio_bam_pos", n)
+        self.ref_end = arr("gio_bam_ref_end", n)
+        self.mapq = arr("gio_bam_mapq", n)
+        self.flag = arr("gio_bam_flag", n)
+        self.seq_off = arr("gio_bam_seq_off", n + 1)
+        self.seq_pool = arr("gio_bam_seq_pool", int(self.seq_off[-1]) if n else 0)
+        self.itv_off = arr("gio_bam_itv_off", n + 1)
+        self.itv_pool = arr("gio_bam_itv_pool", int(self.itv_off[-1]) * 2 if n else 0)
+        self.cb_off = arr("gio_bam_cb_off", n + 1)
+        self.cb_pool = arr("gio_bam_cb_pool", int(self.cb_off[-1]) if n else 0)
+        self.ub_off = arr("gio_bam_ub_off", n + 1)
+        self.ub_pool = arr("gio_bam_ub_pool", int(self.ub_off[-1]) if n else 0)
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.gio_bam_free(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+    @staticmethod
+    def _unique_map(off: np.ndarray, pool: np.ndarray, map_unique):
+        """Vectorized variable-length-string mapping: group records by tag
+        length, gather fixed-width byte matrices, dedupe with np.unique,
+        and only touch Python for the (few) unique values.
+        map_unique(bytes) -> int; absent tags map to -1."""
+        n = len(off) - 1
+        out = np.full(n, -1, dtype=np.int64)
+        lens = np.diff(off)
+        for L in np.unique(lens):
+            if L == 0:
+                continue
+            idx = np.nonzero(lens == L)[0]
+            gather = pool[np.add.outer(off[idx], np.arange(L, dtype=np.int64))]
+            uniq, inv = np.unique(gather, axis=0, return_inverse=True)
+            vals = np.fromiter(
+                (map_unique(u.tobytes()) for u in uniq), dtype=np.int64,
+                count=len(uniq))
+            out[idx] = vals[inv]
+        return out
+
+    def cb_indices(self, barcodes: dict) -> np.ndarray:
+        """Map each record's CB tag to a dense barcode index (-1 when the
+        tag is absent or the barcode is not in the list)."""
+        return self._unique_map(
+            self.cb_off, self.cb_pool, lambda s: barcodes.get(s, -2)
+        ).astype(np.int32)
+
+    def cb_present(self) -> np.ndarray:
+        return (self.cb_off[1:] - self.cb_off[:-1]) > 0
+
+    def ub_ids(self) -> np.ndarray:
+        """Map each record's UB tag to a per-file unique id (-1 = absent).
+        Ids preserve equality, which is all the UMI grouping needs."""
+        counter = iter(range(1 << 62))
+        return self._unique_map(self.ub_off, self.ub_pool,
+                                lambda s: next(counter))

@@ -36,6 +36,18 @@ from ..constants import GAP_EXTEND, GAP_OPEN, MATCH, MISMATCH
 NEG = np.int32(-(1 << 28))
 LANES = 128
 
+# Persistent compilation cache: kernel compiles go through a remote helper
+# in some TPU environments and can be slow/flaky — cache them across
+# processes.
+try:  # pragma: no cover
+    import os as _os
+    _cache_dir = _os.path.expanduser("~/.cache/jax_pallas")
+    _os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 
 def _sw_kernel(x_ref, y_ref, out_ref,
                yw_ref, hm1_ref, hm2_ref, e_ref, f_ref, best_ref,
