@@ -1,0 +1,76 @@
+"""Tests for the BCF binary format and BAI indexed region queries."""
+
+import numpy as np
+import pytest
+
+from vartrix_tpu.io.bai import BaiIndex, IndexedBamReader, reg2bins
+from vartrix_tpu.io.bam import BamReader
+from vartrix_tpu.io.bcf import read_bcf_records, write_bcf
+from vartrix_tpu.io.vcf import VcfRecord, read_vcf_records
+
+T = "/root/reference/test"
+
+
+class TestBcf:
+    def test_roundtrip_dna_vcf(self, tmp_path):
+        recs = read_vcf_records(f"{T}/test_dna.vcf")
+        chroms = sorted({r.chrom for r in recs})
+        p = tmp_path / "t.bcf"
+        write_bcf(str(p), [(c, 240000) for c in chroms], recs)
+        back = read_vcf_records(str(p))  # auto-detected as BCF
+        assert len(back) == len(recs)
+        for a, b in zip(recs, back):
+            assert (a.chrom, a.pos, a.ref, a.alts) == (b.chrom, b.pos, b.ref, b.alts)
+
+    def test_empty_alt_and_multiallelic(self, tmp_path):
+        special = [VcfRecord("c1", 10, b"AT", []),
+                   VcfRecord("c1", 50, b"A", [b"C", b"G"]),
+                   VcfRecord("c1", 99, b"G", [b"G" + b"A" * 20])]  # long allele
+        p = tmp_path / "s.bcf"
+        write_bcf(str(p), [("c1", 1000)], special)
+        back = read_vcf_records(str(p))
+        assert [(r.pos, r.ref, r.alts) for r in back] == \
+               [(r.pos, r.ref, r.alts) for r in special]
+
+    def test_pipeline_accepts_bcf(self, tmp_path):
+        from vartrix_tpu.driver import _main
+        from vartrix_tpu.io.matrix_market import read_matrix_market
+
+        recs = read_vcf_records(f"{T}/test.vcf")
+        p = tmp_path / "v.bcf"
+        write_bcf(str(p), [(c, 400) for c in ["1", "17", "2", "7"]], recs)
+        out = tmp_path / "o.mtx"
+        _main(["-v", str(p), "-b", f"{T}/test.bam", "-f", f"{T}/test.fa",
+               "-c", f"{T}/barcodes.tsv", "-o", str(out), "--backend", "cpu"])
+        assert read_matrix_market(str(out)).to_canonical() == \
+               read_matrix_market(f"{T}/test_consensus.mtx").to_canonical()
+
+
+class TestBai:
+    def test_reg2bins_level0(self):
+        assert 0 in reg2bins(0, 1)
+        assert 4681 in reg2bins(0, 1)  # 16kb leaf of position 0
+
+    def test_parse_reference_index(self):
+        idx = BaiIndex(f"{T}/test.bam.bai")
+        assert len(idx.bins) == 4
+
+    @pytest.mark.parametrize("chrom,s,e", [
+        ("1", 195, 206), ("1", 0, 400), ("17", 150, 250),
+        ("2", 199, 200), ("7", 300, 400), ("7", 0, 50)])
+    def test_indexed_fetch_matches_linear(self, chrom, s, e):
+        lin = BamReader(f"{T}/test.bam")
+        idx = IndexedBamReader(f"{T}/test.bam")
+        a = [(r.pos, r.qname) for r in lin.fetch(chrom, s, e)]
+        b = [(r.pos, r.qname) for r in idx.fetch(chrom, s, e)]
+        assert a == b
+
+    def test_indexed_fetch_on_written_bam(self, tmp_path):
+        # our fake .bai has no bins; IndexedBamReader must still parse it
+        # and yield nothing rather than crash
+        from vartrix_tpu.io.bam_writer import encode_record, write_bam
+        p = tmp_path / "w.bam"
+        write_bam(str(p), [("c1", 1000)],
+                  [encode_record(b"r", 0, 0, 10, 60, [(0, 5)], b"ACGTA")])
+        idx = IndexedBamReader(str(p))
+        assert list(idx.fetch("c1", 0, 1000)) == []

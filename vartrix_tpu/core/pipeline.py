@@ -59,6 +59,7 @@ class VariantWork:
     read_seqs: List[bytes] = field(default_factory=list)
     cell_indices: List[int] = field(default_factory=list)
     umis: List[bytes] = field(default_factory=list)
+    qnames: List[bytes] = field(default_factory=list)
     metrics: Metrics = field(default_factory=Metrics)
 
 
@@ -195,6 +196,7 @@ def collect_reads(
             w.read_seqs.append(seq)
             w.cell_indices.append(cell_index)
             w.umis.append(umi)
+            w.qnames.append(rec.qname)
 
 
 def score_all(

@@ -104,9 +104,22 @@ def _native_host_available() -> bool:
         return False
 
 
-def _select_backend(name: str):
+def _select_backend(name: str, n_threads: int = 1):
     """Return score_batch_fn(x, y) -> scores for the requested backend."""
     if name == "cpu":
+        # fastest exact CPU path: native threaded full SW when available
+        # (validated against the NumPy oracle), else the oracle itself
+        try:
+            from .ops.sw_native import full_sw_batch_native, native_available
+            if native_available():
+                def cpu_native(x, y, _nt=max(n_threads, 1)):
+                    import numpy as _np
+                    xs = [bytes(row[row != 0]) for row in _np.asarray(x)]
+                    ys = [bytes(row[row != 1]) for row in _np.asarray(y)]
+                    return full_sw_batch_native(xs, ys, _nt)
+                return cpu_native
+        except Exception:
+            pass
         from .ops.sw_numpy import sw_scores_batch
         return sw_scores_batch
     if name == "tpu":
@@ -166,12 +179,17 @@ def _main(argv: List[str]) -> None:
     )
 
     works = prepare_variants(records, fasta, pargs)
-    score_fn = _select_backend(args.backend)
+    score_fn = _select_backend(args.backend, args.threads)
 
     use_native = args.host in ("auto", "native") and _native_host_available()
     if args.host == "native" and not use_native:
         log.error("native host runtime requested but libgenomio unavailable")
         sys.exit(1)
+    if args.log_level == "debug" and args.host == "auto":
+        # debug logging reports per-read alignments/qnames, which only the
+        # reference (Python) path carries; the reference tool's docs call
+        # debug logging "very slow" too (README.md:108-110)
+        use_native = False
 
     if use_native:
         from .core import agg_numpy
@@ -208,6 +226,18 @@ def _main(argv: List[str]) -> None:
     else:
         collect_reads(bam, works, cell_barcodes, pargs)
         per_variant_scores = score_all(works, score_fn)
+        if log.isEnabledFor(logging.DEBUG):
+            from .ops.sw_numpy import pretty_alignment
+            for w, sc in zip(works, per_variant_scores):
+                locus_str = f"{w.locus.chrom}:{w.locus.start}"
+                log.debug("Evaluating record %s", locus_str)
+                for k, (seq, qn) in enumerate(zip(w.read_seqs, w.qnames)):
+                    log.debug("%s %s ref_aln:\n%s", locus_str, qn.decode(),
+                              pretty_alignment(seq, w.rref))
+                    log.debug("%s %s alt_aln:\n%s", locus_str, qn.decode(),
+                              pretty_alignment(seq, w.alt_hap))
+                    log.debug("%s %s ref_score: %d alt_score: %d", locus_str,
+                              qn.decode(), int(sc[k, 0]), int(sc[k, 1]))
         log.debug("Finished aligning reads for all variants")
 
         metrics = Metrics()
@@ -265,7 +295,29 @@ def _main(argv: List[str]) -> None:
 
 
 def main() -> None:
-    _main(sys.argv[1:])
+    """CLI entry with the reference's friendly error shell
+    (src/main.rs:137-160): print the error chain and a bug-report hint,
+    exit 1."""
+    import traceback
+
+    from . import __version__
+
+    try:
+        _main(sys.argv[1:])
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001 — mirror the catch-all shell
+        print(f"Vartrix error. v{__version__}.")
+        print(f"Error: {e}")
+        cause = e.__cause__ or e.__context__
+        while cause is not None:
+            print(f"Info: caused by {cause}")
+            cause = cause.__cause__ or cause.__context__
+        print()
+        traceback.print_exc()
+        print("If you think this is a bug, please file an issue and include "
+              "the information above and the command-line you used.")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

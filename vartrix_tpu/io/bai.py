@@ -1,0 +1,234 @@
+"""BAI index parsing and indexed BAM region queries.
+
+Re-provides htslib's index machinery (used by the reference's
+bam::IndexedReader fetch at /root/reference/src/main.rs:822-826):
+
+  * BAI format: per-reference R-tree bins (5 levels, 16kb leaves) of
+    chunk lists in BGZF virtual offsets, plus a 16kb linear index;
+  * reg2bins candidate-bin enumeration;
+  * a lazy BGZF reader that inflates only the physical blocks a chunk
+    touches (LRU-cached), seeks by virtual offset (coffset<<16 | uoffset)
+    and decodes records across block boundaries.
+
+The streaming pipeline decodes whole files (faster for dense variant
+sets); this path serves sparse region access and API parity.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections import OrderedDict
+from typing import Dict, Iterator, List, Tuple
+
+from .bam import BamRecord, _decode_record
+
+
+def reg2bins(beg: int, end: int) -> List[int]:
+    """Candidate bins overlapping [beg, end), per the SAM spec."""
+    end -= 1
+    bins = [0]
+    for shift, offset in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        bins.extend(range(offset + (beg >> shift), offset + (end >> shift) + 1))
+    return bins
+
+
+class BaiIndex:
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:4] != b"BAI\x01":
+            raise ValueError(f"{path}: not a BAI index")
+        off = 4
+        (n_ref,) = struct.unpack_from("<i", data, off)
+        off += 4
+        # per ref: {bin_id: [(chunk_beg, chunk_end)]}, linear ioffsets
+        self.bins: List[Dict[int, List[Tuple[int, int]]]] = []
+        self.intervals: List[List[int]] = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, off)
+            off += 4
+            bd: Dict[int, List[Tuple[int, int]]] = {}
+            for _ in range(n_bin):
+                bin_id, n_chunk = struct.unpack_from("<Ii", data, off)
+                off += 8
+                chunks = []
+                for _ in range(n_chunk):
+                    beg, end = struct.unpack_from("<QQ", data, off)
+                    off += 16
+                    chunks.append((beg, end))
+                bd[bin_id] = chunks
+            (n_intv,) = struct.unpack_from("<i", data, off)
+            off += 4
+            ioff = list(struct.unpack_from(f"<{n_intv}Q", data, off))
+            off += 8 * n_intv
+            self.bins.append(bd)
+            self.intervals.append(ioff)
+
+    def chunks_for_region(self, ref_id: int, beg: int, end: int) -> List[Tuple[int, int]]:
+        """Merged candidate chunks (virtual-offset ranges) for a region,
+        pruned by the linear index."""
+        if ref_id >= len(self.bins):
+            return []
+        bd = self.bins[ref_id]
+        intv = self.intervals[ref_id]
+        min_off = 0
+        iv = beg >> 14
+        if iv < len(intv):
+            min_off = intv[iv]
+        chunks = []
+        for b in reg2bins(beg, end):
+            for cb, ce in bd.get(b, ()):
+                if ce > min_off:
+                    chunks.append((max(cb, min_off), ce))
+        chunks.sort()
+        merged: List[Tuple[int, int]] = []
+        for cb, ce in chunks:
+            if merged and cb <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], ce))
+            else:
+                merged.append((cb, ce))
+        return merged
+
+
+class LazyBgzf:
+    """Random-access BGZF reader with an LRU block cache."""
+
+    def __init__(self, path: str, cache_blocks: int = 64):
+        self._f = open(path, "rb")
+        self._cache: OrderedDict[int, Tuple[bytes, int]] = OrderedDict()
+        self._cache_blocks = cache_blocks
+
+    def close(self):
+        self._f.close()
+
+    def block(self, coffset: int) -> Tuple[bytes, int]:
+        """-> (inflated payload, next block's coffset)."""
+        hit = self._cache.get(coffset)
+        if hit is not None:
+            self._cache.move_to_end(coffset)
+            return hit
+        f = self._f
+        f.seek(coffset)
+        header = f.read(18)
+        if len(header) < 18:
+            return b"", coffset
+        xlen = struct.unpack_from("<H", header, 10)[0]
+        extra = header[12:] + f.read(xlen - 6) if xlen > 6 else header[12:12 + xlen]
+        bsize = None
+        xoff = 0
+        while xoff + 4 <= len(extra):
+            si1, si2 = extra[xoff], extra[xoff + 1]
+            slen = struct.unpack_from("<H", extra, xoff + 2)[0]
+            if si1 == 66 and si2 == 67 and slen == 2:
+                bsize = struct.unpack_from("<H", extra, xoff + 4)[0] + 1
+            xoff += 4 + slen
+        if bsize is None:
+            raise ValueError("BGZF block without BC subfield")
+        cdata = f.read(bsize - 12 - xlen - 8)
+        payload = zlib.decompress(cdata, wbits=-15)
+        entry = (payload, coffset + bsize)
+        self._cache[coffset] = entry
+        if len(self._cache) > self._cache_blocks:
+            self._cache.popitem(last=False)
+        return entry
+
+    def read_at(self, voffset: int, n: int) -> bytes:
+        """Read n uncompressed bytes starting at a virtual offset."""
+        coffset, uoffset = voffset >> 16, voffset & 0xFFFF
+        out = bytearray()
+        while len(out) < n:
+            payload, nxt = self.block(coffset)
+            if not payload and nxt == coffset:
+                break
+            out += payload[uoffset : uoffset + (n - len(out))]
+            coffset, uoffset = nxt, 0
+        return bytes(out)
+
+
+class IndexedBamReader:
+    """BAM reader using the BAI index for region fetches — decodes only
+    the BGZF blocks the region's chunks touch."""
+
+    def __init__(self, bam_path: str, bai_path: str | None = None):
+        if bai_path is None:
+            bai_path = bam_path + ".bai"
+        self.index = BaiIndex(bai_path)
+        self._bgzf = LazyBgzf(bam_path)
+        # parse header from the stream start
+        hdr = self._bgzf.read_at(0, 1 << 16)
+        while True:
+            need = self._header_size(hdr)
+            if need <= len(hdr):
+                break
+            hdr = self._bgzf.read_at(0, 2 * len(hdr))
+        if hdr[:4] != b"BAM\x01":
+            raise ValueError(f"{bam_path}: not a BAM file")
+        l_text = struct.unpack_from("<i", hdr, 4)[0]
+        off = 8 + l_text
+        n_ref = struct.unpack_from("<i", hdr, off)[0]
+        off += 4
+        self.ref_names: List[str] = []
+        self.ref_lens: List[int] = []
+        for _ in range(n_ref):
+            l_name = struct.unpack_from("<i", hdr, off)[0]
+            self.ref_names.append(hdr[off + 4 : off + 4 + l_name - 1].decode())
+            self.ref_lens.append(struct.unpack_from("<i", hdr, off + 4 + l_name)[0])
+            off += 8 + l_name
+        self.tid_by_name = {n: i for i, n in enumerate(self.ref_names)}
+
+    @staticmethod
+    def _header_size(hdr: bytes) -> int:
+        if len(hdr) < 12:
+            return 12
+        l_text = struct.unpack_from("<i", hdr, 4)[0]
+        off = 8 + l_text
+        if len(hdr) < off + 4:
+            return off + 4
+        n_ref = struct.unpack_from("<i", hdr, off)[0]
+        off += 4
+        for _ in range(n_ref):
+            if len(hdr) < off + 4:
+                return off + 4
+            l_name = struct.unpack_from("<i", hdr, off)[0]
+            off += 8 + l_name
+        return off
+
+    def close(self):
+        self._bgzf.close()
+
+    def fetch(self, chrom: str, start: int, end: int) -> Iterator[BamRecord]:
+        tid = self.tid_by_name.get(chrom)
+        if tid is None:
+            raise KeyError(f"chromosome {chrom} not in BAM header")
+        for cb, ce in self.index.chunks_for_region(tid, start, end):
+            voff = cb
+            while voff < ce:
+                head = self._bgzf.read_at(voff, 4)
+                if len(head) < 4:
+                    break
+                bs = struct.unpack_from("<i", head, 0)[0]
+                buf = self._bgzf.read_at(voff, 4 + bs)[4:]
+                rec = _decode_record(buf)
+                # advance the virtual offset past this record
+                coffset, uoffset = voff >> 16, voff & 0xFFFF
+                remaining = 4 + bs
+                while remaining > 0:
+                    payload, nxt = self._bgzf.block(coffset)
+                    avail = len(payload) - uoffset
+                    if avail > remaining:
+                        uoffset += remaining
+                        remaining = 0
+                    else:
+                        remaining -= avail
+                        coffset, uoffset = nxt, 0
+                if uoffset == 0 and remaining == 0:
+                    # landed exactly on a block boundary
+                    pass
+                voff = (coffset << 16) | uoffset
+                if rec.tid != tid or rec.pos >= end:
+                    if rec.tid > tid or (rec.tid == tid and rec.pos >= end):
+                        break
+                    continue
+                if rec.endpos() > start:
+                    yield rec

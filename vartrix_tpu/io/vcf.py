@@ -33,7 +33,24 @@ def _open_text(path: str):
     return open(path, "rt")
 
 
+def _is_bcf(path: str) -> bool:
+    """Detect binary BCF (possibly BGZF-compressed) by magic bytes."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+    if head[:3] == b"BCF":
+        return True
+    if head[:2] == b"\x1f\x8b":
+        with gzip.open(path, "rb") as f:
+            return f.read(3) == b"BCF"
+    return False
+
+
 def read_vcf_records(path: str) -> List[VcfRecord]:
+    """Read variant records from .vcf, .vcf.gz/.vcf.bgz, or binary .bcf
+    (format detected by content, like htslib's bcf::Reader)."""
+    if _is_bcf(path):
+        from .bcf import read_bcf_records
+        return read_bcf_records(path)
     return list(iter_vcf_records(path))
 
 
