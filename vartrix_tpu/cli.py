@@ -76,4 +76,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host", choices=["auto", "native", "python"], default="auto",
                    help="Host-side BAM runtime: native columnar decoder "
                         "(libgenomio C++) or pure-Python reference path")
+    p.add_argument("--profile-dir", dest="profile_dir", metavar="DIR", default=None,
+                   help="Write a jax.profiler trace of the scoring phase to "
+                        "this directory (view with TensorBoard/Perfetto)")
+    p.add_argument("--checkpoint-dir", dest="checkpoint_dir", metavar="DIR",
+                   default=None,
+                   help="Spill per-variant score blocks to this directory and "
+                        "resume from them on a rerun (long-run fault tolerance; "
+                        "the reference has no equivalent)")
+    p.add_argument("--num-shards", dest="num_shards", type=int, default=1,
+                   metavar="N",
+                   help="Distribute over N hosts/processes: this process "
+                        "computes only its contiguous variant-row shard and "
+                        "writes a partial matrix (merge with vartrix-merge)")
+    p.add_argument("--shard-index", dest="shard_index", type=int, default=0,
+                   metavar="I", help="This process's shard index in [0, N)")
     return p

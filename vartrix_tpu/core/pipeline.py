@@ -67,14 +67,22 @@ def prepare_variants(
     records: List[VcfRecord],
     fasta: IndexedFasta,
     args: PipelineArgs,
+    row_range=None,
 ) -> List[VariantWork]:
     """Build haplotypes; mark multi-allelic / invalid-ALT records skipped
-    (semantics of src/main.rs:646-684)."""
+    (semantics of src/main.rs:646-684). row_range=(lo, hi) restricts the
+    computed rows for sharded multi-host runs — out-of-range rows are
+    silently skipped (no metrics, no haplotypes) but keep their place in
+    the matrix dimensions."""
     valid = set(args.valid_chars)
     works: List[VariantWork] = []
     for i, rec in enumerate(records):
         locus = Locus(rec.chrom, rec.pos, rec.pos + len(rec.ref))
         w = VariantWork(row=i, locus=locus)
+        if row_range is not None and not (row_range[0] <= i < row_range[1]):
+            w.skipped = True
+            works.append(w)
+            continue
         alleles = rec.alleles
         if len(alleles) > 2:
             log.info("Variant at %s:%d is multi-allelic. It will be ignored.",

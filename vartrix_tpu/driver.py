@@ -13,6 +13,8 @@ import os
 import sys
 from typing import Dict, List, Optional
 
+import numpy as np
+
 from .cli import build_parser
 from .core import calls as calls_mod
 from .core.pipeline import (
@@ -94,6 +96,22 @@ def write_variants(out_variants: str, vcf_file: str) -> None:
     with open(out_variants, "wt") as f:
         for rec in iter_vcf_records(vcf_file):
             f.write(f"{rec.chrom}_{rec.pos}\n")
+
+
+def _maybe_profile(profile_dir: Optional[str]):
+    """jax.profiler trace context for the scoring phase (SURVEY.md §5.1:
+    the reference's only profiling aid is release-build symbols; here we
+    emit a real device trace)."""
+    import contextlib
+
+    if not profile_dir:
+        return contextlib.nullcontext()
+    try:
+        import jax
+        return jax.profiler.trace(profile_dir)
+    except Exception as e:
+        log.error("profiling unavailable: %s", e)
+        return contextlib.nullcontext()
 
 
 def _native_host_available() -> bool:
@@ -178,7 +196,14 @@ def _main(argv: List[str]) -> None:
         padding=args.padding,
     )
 
-    works = prepare_variants(records, fasta, pargs)
+    row_range = None
+    if args.num_shards > 1:
+        from .parallel.multihost import shard_range
+        row_range = shard_range(num_vars, args.num_shards, args.shard_index)
+        log.info("Shard %d/%d computes variant rows [%d, %d)",
+                 args.shard_index, args.num_shards, *row_range)
+
+    works = prepare_variants(records, fasta, pargs, row_range=row_range)
     score_fn = _select_backend(args.backend, args.threads)
 
     use_native = args.host in ("auto", "native") and _native_host_available()
@@ -200,7 +225,42 @@ def _main(argv: List[str]) -> None:
                            n_threads=max(args.threads, 1))
         read_idx, cells_l, umis_l = collect_reads_fast(
             cbam, works, cell_barcodes, pargs)
-        per_variant_scores = score_all_fast(cbam, works, read_idx, score_fn)
+
+        ckpt = None
+        if args.checkpoint_dir:
+            from .core.checkpoint import ScoreCheckpoint, manifest_key
+            key = manifest_key(
+                [args.vcf, args.bam, args.fasta, args.cell_barcodes],
+                {"padding": args.padding, "mapq": args.mapq,
+                 "primary": args.primary_alignments,
+                 "duplicates": args.no_duplicates, "umi": args.umi,
+                 "bam_tag": args.bam_tag, "valid_chars": args.valid_chars})
+            ckpt = ScoreCheckpoint(args.checkpoint_dir, key)
+
+        with _maybe_profile(args.profile_dir):
+            if ckpt is not None:
+                cached = {}
+                todo = []
+                for wi, w in enumerate(works):
+                    arr = ckpt.load(w.row)
+                    if arr is not None and arr.shape == (len(read_idx[wi]), 2):
+                        cached[wi] = arr.astype(np.int32)
+                    else:
+                        todo.append(wi)
+                sub = score_all_fast(cbam, [works[i] for i in todo],
+                                     [read_idx[i] for i in todo], score_fn)
+                per_variant_scores = []
+                for wi, w in enumerate(works):
+                    if wi in cached:
+                        per_variant_scores.append(cached[wi])
+                    else:
+                        arr = sub[todo.index(wi)]
+                        ckpt.save(w.row, arr)
+                        per_variant_scores.append(arr)
+                log.info("Checkpoint: %d variants loaded, %d scored",
+                         len(cached), len(todo))
+            else:
+                per_variant_scores = score_all_fast(cbam, works, read_idx, score_fn)
         log.debug("Finished aligning reads for all variants")
 
         metrics = Metrics()

@@ -1,0 +1,152 @@
+"""Optimized Pallas SW kernel (v2).
+
+Same anti-diagonal wavefront as ops/sw_pallas.py with three optimizations:
+
+  1. shared subterm: t = H(d-1) + GAP_OPEN+GAP_EXTEND feeds both E (gap
+     consuming y) and F (gap consuming x); F's shift is hoisted over the
+     max (shift commutes with elementwise max/add-constant), halving the
+     shifted operands;
+  2. the per-diagonal y window is a dynamic sublane slice from a
+     REVERSED, pad-extended y buffer (ybuf[t] = y[c+1-t]) instead of a
+     rolling window carried between iterations — removing a
+     loop-carried dependency;
+  3. two diagonals per loop iteration: state tiles are loaded/stored
+     once per pair of diagonals, and diagonal d+1 consumes d's
+     register-resident results.
+
+Exactness is identical to v1 (same recurrence, same padding argument);
+parity is enforced by tests against the NumPy oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import GAP_EXTEND, GAP_OPEN, MATCH, MISMATCH
+from .sw_pallas import LANES, NEG, _on_tpu
+
+
+def _sw_kernel_v2(x_ref, ybuf_ref, out_ref,
+                  hm1_ref, hm2_ref, e_ref, f_ref, best_ref,
+                  *, lx: int, ly: int, unroll: int = 2):
+    """x [lx, 128]; ybuf [YB, 128] with ybuf[t] = y[c+1-t] (c = lx+ly-2),
+    pad elsewhere; out [1, 128]."""
+    GOE = np.int32(GAP_OPEN + GAP_EXTEND)
+    GE = np.int32(GAP_EXTEND)
+
+    x = x_ref[:, :]
+    zeros = x * np.int32(0)
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (lx, LANES), 0) == 0
+
+    def shift_down(v, fill):
+        return jnp.where(row0, fill, pltpu.roll(v, 1, axis=0))
+
+    hm1_ref[:, :] = zeros
+    hm2_ref[:, :] = zeros
+    e_ref[:, :] = zeros + NEG
+    f_ref[:, :] = zeros + NEG
+    best_ref[:, :] = zeros
+
+    # window offset for diagonal d is (c1 + pad_top) - d; ybuf carries
+    # `pad_top = unroll-1` extra leading pad rows so the over-covered
+    # trailing diagonals of the last group still slice at offset >= 0
+    # (their windows are all-pad: harmless)
+    pad_top = unroll - 1
+    c1 = lx + ly - 1 + pad_top
+    n_grp = (lx + ly + unroll - 1) // unroll  # covers diagonals 0..lx+ly-2
+
+    def one_diag(d_off_base, k, h_m1, h_m2, e, f):
+        """Compute diagonal with window offset (d_off_base - k).
+        h_m1/h_m2/e/f are the previous two diagonals' register values."""
+        ys = ybuf_ref[pl.ds(d_off_base - k, lx), :]
+        s = jnp.where(x == ys, np.int32(MATCH), np.int32(MISMATCH))
+        t = h_m1 + GOE
+        e_n = jnp.maximum(t, e + GE)
+        f_n = shift_down(jnp.maximum(t, f + GE), NEG)
+        h_n = jnp.maximum(jnp.maximum(shift_down(h_m2, np.int32(0)) + s, e_n),
+                          jnp.maximum(f_n, 0))
+        return h_n, e_n, f_n
+
+    def body(p, _):
+        # group of `unroll` diagonals starting at d = unroll*p;
+        # state tiles are loaded/stored once per group
+        base = c1 - unroll * p
+        h_m1 = hm1_ref[:, :]
+        h_m2 = hm2_ref[:, :]
+        e = e_ref[:, :]
+        f = f_ref[:, :]
+        hs = []
+        for k in range(unroll):
+            h, e, f = one_diag(base, k, h_m1, h_m2, e, f)
+            h_m2, h_m1 = h_m1, h
+            hs.append(h)
+        hm2_ref[:, :] = h_m2
+        hm1_ref[:, :] = h_m1
+        e_ref[:, :] = e
+        f_ref[:, :] = f
+        b = hs[0]
+        for h in hs[1:]:
+            b = jnp.maximum(b, h)
+        best_ref[:, :] = jnp.maximum(best_ref[:, :], b)
+        return 0
+
+    jax.lax.fori_loop(0, n_grp, body, 0)
+    out_ref[:, :] = jnp.max(best_ref[:, :], axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
+def _sw_pallas_v2(x_t: jax.Array, ybuf_t: jax.Array, *, lx: int, ly: int,
+                  interpret: bool, unroll: int = 2) -> jax.Array:
+    B = x_t.shape[1]
+    yb = ybuf_t.shape[0]
+    grid = (B // LANES,)
+    kernel = functools.partial(_sw_kernel_v2, lx=lx, ly=ly, unroll=unroll)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((lx, LANES), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((yb, LANES), lambda b: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, LANES), lambda b: (0, b), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((lx, LANES), jnp.int32) for _ in range(5)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * lx * ly * LANES, bytes_accessed=(lx + yb) * B * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x_t, ybuf_t)
+
+
+def make_ybuf(y: np.ndarray, lx: int, unroll: int = 2) -> np.ndarray:
+    """Build the reversed window buffer with `unroll-1` extra leading pad
+    rows: ybuf[pad_top + t] = y[(lx+ly-1) - t], PAD byte 1 elsewhere."""
+    B, ly = y.shape
+    pad_top = unroll - 1
+    yb = pad_top + 2 * lx + ly
+    ybuf = np.full((yb, B), 1, dtype=np.int32)
+    ybuf[pad_top + lx : pad_top + lx + ly, :] = y.T[::-1, :]
+    return ybuf
+
+
+def sw_scores_batch_tpu_v2(x: np.ndarray, y: np.ndarray,
+                           unroll: int = 2) -> np.ndarray:
+    """Backend entry point (uint8 [B, Lx] / [B, Ly] -> int32 [B])."""
+    B, lx = x.shape
+    ly = y.shape[1]
+    interpret = not _on_tpu()
+    bp = ((B + LANES - 1) // LANES) * LANES
+    x_t = np.zeros((lx, bp), dtype=np.int32)
+    x_t[:, :B] = x.T
+    yp = np.ones((bp, ly), dtype=np.uint8)
+    yp[:B] = y
+    ybuf = make_ybuf(yp, lx, unroll)
+    out = _sw_pallas_v2(jnp.asarray(x_t), jnp.asarray(ybuf), lx=lx, ly=ly,
+                        interpret=interpret, unroll=unroll)
+    return np.asarray(out)[0, :B]
