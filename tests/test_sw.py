@@ -111,3 +111,15 @@ def test_banded_equals_full_on_similar_sequences():
         read = bytearray(hap[s : s + 50])
         read[10] = b"A"[0] if read[10] != b"A"[0] else b"C"[0]  # one SNV
         assert banded_sw_score(bytes(read), hap) == sw_score_single(bytes(read), hap)
+
+
+def test_pallas_v2_matches_oracle_random():
+    from vartrix_tpu.ops.sw_pallas_v2 import sw_scores_batch_tpu_v2
+
+    rng = np.random.default_rng(7)
+    pairs = random_pairs(rng, 48, 48, 72)
+    xs, ys = pack(pairs, 48, 72)
+    expected = sw_scores_batch(xs, ys)
+    for unroll in (2, 4):
+        got = sw_scores_batch_tpu_v2(xs, ys, unroll=unroll)
+        np.testing.assert_array_equal(got, expected)

@@ -141,8 +141,8 @@ def _select_backend(name: str, n_threads: int = 1):
         from .ops.sw_numpy import sw_scores_batch
         return sw_scores_batch
     if name == "tpu":
-        from .ops.sw_pallas import sw_scores_batch_tpu
-        return sw_scores_batch_tpu
+        from .ops.sw_pallas_v2 import sw_scores_batch_tpu_v2
+        return sw_scores_batch_tpu_v2
     if name == "xla":
         from .ops.sw_xla import sw_scores_batch_xla
         return sw_scores_batch_xla
@@ -150,8 +150,8 @@ def _select_backend(name: str, n_threads: int = 1):
     try:
         import jax
         if any(d.platform == "tpu" for d in jax.devices()):
-            from .ops.sw_pallas import sw_scores_batch_tpu
-            return sw_scores_batch_tpu
+            from .ops.sw_pallas_v2 import sw_scores_batch_tpu_v2
+            return sw_scores_batch_tpu_v2
     except Exception:
         pass
     from .ops.sw_numpy import sw_scores_batch
