@@ -114,3 +114,40 @@ def test_coverage_and_frac_values():
     frac = np.asarray(frac)
     assert frac[0, 0] == pytest.approx(1 / 3)
     assert np.isnan(frac[0, 1])
+
+
+def test_device_umi_consensus_matches_host():
+    """Device UMI-consensus aggregation vs the exact host implementation
+    on randomized scores with shared/colliding UMIs."""
+    import numpy as np
+
+    from vartrix_tpu.core.calls import Scores, parse_scores, convert_to_counts
+    from vartrix_tpu.core.device_agg import calls_from_scores, umi_consensus_counts
+
+    rng = np.random.default_rng(11)
+    N = 800
+    cells = rng.integers(0, 20, N).astype(np.int64)
+    umis = rng.integers(0, 6, N).astype(np.int64)
+    ref_s = rng.integers(0, 60, N).astype(np.int32)
+    alt_s = rng.integers(0, 60, N).astype(np.int32)
+
+    # host: per-cell calls through parse_scores (umi=True)
+    order = np.argsort(cells, kind="stable")
+    host_scores = [Scores(int(cells[k]), bytes([umis[k]]), int(ref_s[k]), int(alt_s[k]))
+                   for k in order]
+    host = {}
+    for cell, calls in parse_scores(host_scores, umi=True):
+        c = convert_to_counts(calls)
+        host[cell] = (c.ref_count, c.alt_count, c.unk_count)
+
+    # device: dense group ids from the host, arithmetic on device
+    ug_key = cells * 100 + umis
+    ug_uniq, ug = np.unique(ug_key, return_inverse=True)
+    cell_uniq, cell_of_read = np.unique(cells, return_inverse=True)
+    cell_of_group = np.searchsorted(cell_uniq, ug_uniq // 100)
+    calls = calls_from_scores(ref_s, alt_s)
+    out = np.asarray(umi_consensus_counts(
+        calls, ug.astype(np.int32), cell_of_group.astype(np.int32),
+        np.ones(N, bool), len(ug_uniq), len(cell_uniq)))
+    for k, cell in enumerate(cell_uniq):
+        assert tuple(out[k]) == host[int(cell)], (cell, tuple(out[k]), host[int(cell)])

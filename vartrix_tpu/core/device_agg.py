@@ -54,6 +54,44 @@ def count_block(
     return flat.reshape(n_rows, n_cells, 4)
 
 
+def umi_consensus_counts(
+    calls: jax.Array,          # [N] int32 codes 0..3 (0 = dropped)
+    umi_group: jax.Array,      # [N] int32: dense id of this read's (variant, cell, umi) group
+    cell_of_group: jax.Array,  # [G] int32: dense (variant, cell) id per umi group
+    valid: jax.Array,          # [N] bool
+    n_umi_groups: int,
+    n_cell_groups: int,
+) -> jax.Array:
+    """On-device UMI-consensus aggregation (reference src/main.rs:1041-1088):
+
+      1. segment-sum surviving call one-hots per (variant, cell, umi) group;
+      2. call each UMI group REF/ALT when its fraction (unknowns in the
+         denominator) >= 0.75, else UNKNOWN; groups with no surviving
+         reads produce nothing;
+      3. segment-sum the per-UMI calls per (variant, cell) group.
+
+    The dense group ids are pure integer renumberings prepared on the host
+    (np.unique); all arithmetic runs on device. Returns [n_cell_groups, 3]
+    (ref, alt, unk) counts, mergeable across shards by addition.
+    """
+    onehot = jax.nn.one_hot(calls, 4, dtype=jnp.int32)[:, 1:]  # drop 'dropped'
+    onehot = jnp.where(valid[:, None], onehot, 0)
+    per_umi = jax.ops.segment_sum(onehot, umi_group, num_segments=n_umi_groups)
+    ref, alt, unk = per_umi[:, 0], per_umi[:, 1], per_umi[:, 2]
+    tot = ref + alt + unk
+    has_reads = tot > 0
+    # frac >= 0.75 as exact integer arithmetic: 4*count >= 3*total
+    # (the reference compares f64 fractions, identical for integer counts)
+    alt_called = 4 * alt >= 3 * tot
+    ref_called = 4 * ref >= 3 * tot
+    ucall = jnp.where(alt_called, 1, jnp.where(ref_called, 0, 2))
+    # one_hot columns: 0 -> ref, 1 -> alt, 2 -> unk
+    uonehot = jax.nn.one_hot(ucall, 3, dtype=jnp.int32)
+    uonehot = jnp.where(has_reads[:, None], uonehot, 0)
+    return jax.ops.segment_sum(uonehot, cell_of_group,
+                               num_segments=n_cell_groups)
+
+
 def consensus_values(counts: jax.Array) -> jax.Array:
     """[R, C, 4] counts -> [R, C] consensus values (0 = no entry):
     ref&alt -> 3, alt -> 2, ref -> 1 (reference src/main.rs:1111-1129)."""

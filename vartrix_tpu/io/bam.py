@@ -191,6 +191,10 @@ class BamReader:
     def __init__(self, path: str):
         with open(path, "rb") as f:
             raw = f.read()
+        if raw[:4] == b"CRAM":
+            raise NotImplementedError(
+                f"{path}: CRAM input is not supported yet (planned); "
+                "convert to BAM")
         data = bgzf_decompress(raw)
         if data[:4] != b"BAM\x01":
             raise ValueError(f"{path}: not a BAM file")
