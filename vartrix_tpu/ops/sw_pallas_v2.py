@@ -135,18 +135,44 @@ def make_ybuf(y: np.ndarray, lx: int, unroll: int = 2) -> np.ndarray:
     return ybuf
 
 
+CHUNK = 32768  # fixed batch chunk so compiled shapes are workload-independent
+
+
+def _quantized_batch(n: int) -> int:
+    """Smallest power-of-two >= n (min 1 lane group of 128), capped at CHUNK."""
+    b = LANES
+    while b < n:
+        b <<= 1
+    return min(b, CHUNK)
+
+
 def sw_scores_batch_tpu_v2(x: np.ndarray, y: np.ndarray,
                            unroll: int = 2) -> np.ndarray:
-    """Backend entry point (uint8 [B, Lx] / [B, Ly] -> int32 [B])."""
+    """Backend entry point (uint8 [B, Lx] / [B, Ly] -> int32 [B]).
+
+    Batches are processed in fixed-size chunks (pow2-padded tail) so the
+    set of compiled kernel shapes is bounded regardless of workload."""
     B, lx = x.shape
     ly = y.shape[1]
     interpret = not _on_tpu()
-    bp = ((B + LANES - 1) // LANES) * LANES
-    x_t = np.zeros((lx, bp), dtype=np.int32)
-    x_t[:, :B] = x.T
-    yp = np.ones((bp, ly), dtype=np.uint8)
-    yp[:B] = y
-    ybuf = make_ybuf(yp, lx, unroll)
-    out = _sw_pallas_v2(jnp.asarray(x_t), jnp.asarray(ybuf), lx=lx, ly=ly,
-                        interpret=interpret, unroll=unroll)
-    return np.asarray(out)[0, :B]
+    out = np.empty(B, dtype=np.int32)
+    start = 0
+    results = []
+    spans = []
+    while start < B:
+        n = min(CHUNK, B - start)
+        bp = _quantized_batch(n)
+        x_t = np.zeros((lx, bp), dtype=np.int32)
+        x_t[:, :n] = x[start : start + n].T
+        yp = np.ones((bp, ly), dtype=np.uint8)
+        yp[:n] = y[start : start + n]
+        ybuf = make_ybuf(yp, lx, unroll)
+        # async dispatch; materialize after the loop so chunks pipeline
+        results.append(_sw_pallas_v2(jnp.asarray(x_t), jnp.asarray(ybuf),
+                                     lx=lx, ly=ly, interpret=interpret,
+                                     unroll=unroll))
+        spans.append((start, n))
+        start += n
+    for r, (s, n) in zip(results, spans):
+        out[s : s + n] = np.asarray(r)[0, :n]
+    return out

@@ -132,6 +132,29 @@ def generate_dataset(outdir: str, cfg: SynthConfig) -> dict:
             # system (alt reads keep their nominal start; clamp into chrom)
             map_pos = lo + s
             flag = 16 if rng.random() < 0.5 else 0
+            # flag/CIGAR diversity so the filter chain and overlap logic
+            # are exercised differentially (python vs native hosts)
+            r2 = rng.random()
+            if r2 < 0.05:
+                flag |= 0x400  # duplicate
+            elif r2 < 0.08:
+                flag |= 0x100  # secondary
+            elif r2 < 0.10:
+                flag |= 0x800  # supplementary
+            L = len(seq)
+            r3 = rng.random()
+            if r3 < 0.06 and L > 40:  # leading soft clip
+                sc = int(rng.integers(5, 20))
+                cigar = [(4, sc), (0, L - sc)]
+                map_pos += sc
+            elif r3 < 0.10 and L > 60:  # N-split (spliced) read
+                a = int(rng.integers(20, L - 20))
+                cigar = [(0, a), (3, int(rng.integers(10, 50))), (0, L - a)]
+            elif r3 < 0.14 and L > 60:  # deletion in the alignment
+                a = int(rng.integers(20, L - 20))
+                cigar = [(0, a), (2, int(rng.integers(1, 6))), (0, L - a)]
+            else:
+                cigar = [(0, L)]
             tags = [(b"CB", barcodes[cell].encode())]
             if cfg.umi:
                 umi = rng.choice(BASES, 10).astype(np.uint8).tobytes()
@@ -141,8 +164,8 @@ def generate_dataset(outdir: str, cfg: SynthConfig) -> dict:
                 flag=flag,
                 tid=ci,
                 pos=map_pos,
-                mapq=int(rng.integers(30, 61)),
-                cigar=[(0, len(seq))],
+                mapq=int(rng.integers(0, 61)),
+                cigar=cigar,
                 seq=seq.tobytes(),
                 tags=tags,
             )
