@@ -74,3 +74,32 @@ class TestBai:
                   [encode_record(b"r", 0, 0, 10, 60, [(0, 5)], b"ACGTA")])
         idx = IndexedBamReader(str(p))
         assert list(idx.fetch("c1", 0, 1000)) == []
+
+
+class TestCsi:
+    def _bai_to_csi_bytes(self, bai):
+        """Synthesize a CSI (min_shift=14, depth=5 — identical binning to
+        BAI) from parsed BAI data, for format round-trip testing."""
+        import struct
+        out = b"CSI\x01" + struct.pack("<iii", 14, 5, 0)
+        out += struct.pack("<i", len(bai.bins))
+        for bd in bai.bins:
+            out += struct.pack("<i", len(bd))
+            for bin_id, chunks in bd.items():
+                out += struct.pack("<IQi", bin_id, 0, len(chunks))
+                for cb, ce in chunks:
+                    out += struct.pack("<QQ", cb, ce)
+        return out
+
+    def test_csi_fetch_matches_bai(self, tmp_path):
+        from vartrix_tpu.io.bam_writer import bgzf_compress
+
+        bai = BaiIndex(f"{T}/test.bam.bai")
+        csi_path = tmp_path / "test.bam.csi"
+        csi_path.write_bytes(bgzf_compress(self._bai_to_csi_bytes(bai)))
+        via_bai = IndexedBamReader(f"{T}/test.bam")
+        via_csi = IndexedBamReader(f"{T}/test.bam", str(csi_path))
+        for chrom, s, e in [("1", 195, 206), ("17", 150, 250), ("7", 0, 400)]:
+            a = [(r.pos, r.qname) for r in via_bai.fetch(chrom, s, e)]
+            b = [(r.pos, r.qname) for r in via_csi.fetch(chrom, s, e)]
+            assert a == b and len(a) >= 0

@@ -33,6 +33,68 @@ def reg2bins(beg: int, end: int) -> List[int]:
     return bins
 
 
+def reg2bins_csi(beg: int, end: int, min_shift: int, depth: int) -> List[int]:
+    """Candidate bins for a CSI index with arbitrary (min_shift, depth)."""
+    end -= 1
+    bins = []
+    t, s = 0, min_shift + 3 * depth
+    for level in range(depth + 1):
+        bins.extend(range(t + (beg >> s), t + (end >> s) + 1))
+        t += 1 << (3 * level)
+        s -= 3
+    return bins
+
+
+class CsiIndex:
+    """CSI (coordinate-sorted index) parser — the generalized-depth
+    flavor of BAI (the reference accepts .csi in place of .bai,
+    src/main.rs:523-529). BGZF-compressed; bins carry a loffset."""
+
+    def __init__(self, path: str):
+        from .bam import bgzf_decompress
+
+        with open(path, "rb") as f:
+            raw = f.read()
+        data = bgzf_decompress(raw) if raw[:2] == b"\x1f\x8b" else raw
+        if data[:4] != b"CSI\x01":
+            raise ValueError(f"{path}: not a CSI index")
+        self.min_shift, self.depth, l_aux = struct.unpack_from("<iii", data, 4)
+        off = 16 + l_aux
+        (n_ref,) = struct.unpack_from("<i", data, off)
+        off += 4
+        self.bins: List[Dict[int, List[Tuple[int, int]]]] = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, off)
+            off += 4
+            bd: Dict[int, List[Tuple[int, int]]] = {}
+            for _ in range(n_bin):
+                bin_id, _loffset, n_chunk = struct.unpack_from("<IQi", data, off)
+                off += 16
+                chunks = []
+                for _ in range(n_chunk):
+                    beg, end = struct.unpack_from("<QQ", data, off)
+                    off += 16
+                    chunks.append((beg, end))
+                bd[bin_id] = chunks
+            self.bins.append(bd)
+
+    def chunks_for_region(self, ref_id: int, beg: int, end: int) -> List[Tuple[int, int]]:
+        if ref_id >= len(self.bins):
+            return []
+        bd = self.bins[ref_id]
+        chunks = []
+        for b in reg2bins_csi(beg, end, self.min_shift, self.depth):
+            chunks.extend(bd.get(b, ()))
+        chunks.sort()
+        merged: List[Tuple[int, int]] = []
+        for cb, ce in chunks:
+            if merged and cb <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], ce))
+            else:
+                merged.append((cb, ce))
+        return merged
+
+
 class BaiIndex:
     def __init__(self, path: str):
         with open(path, "rb") as f:
@@ -152,8 +214,14 @@ class IndexedBamReader:
 
     def __init__(self, bam_path: str, bai_path: str | None = None):
         if bai_path is None:
+            import os
             bai_path = bam_path + ".bai"
-        self.index = BaiIndex(bai_path)
+            if not os.path.exists(bai_path) and os.path.exists(bam_path + ".csi"):
+                bai_path = bam_path + ".csi"
+        if bai_path.endswith(".csi"):
+            self.index: "BaiIndex | CsiIndex" = CsiIndex(bai_path)
+        else:
+            self.index = BaiIndex(bai_path)
         self._bgzf = LazyBgzf(bam_path)
         # parse header from the stream start
         hdr = self._bgzf.read_at(0, 1 << 16)
