@@ -12,10 +12,13 @@ import argparse
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from . import __version__
+
     p = argparse.ArgumentParser(
         prog="vartrix",
         description="Variant assignment for single cell genomics (TPU-native)",
     )
+    p.add_argument("--version", action="version", version=f"vartrix {__version__}")
     p.add_argument("-v", "--vcf", metavar="FILE", required=True,
                    help="Called variant file (VCF)")
     p.add_argument("-b", "--bam", metavar="FILE", required=True,

@@ -54,19 +54,25 @@ def generate_dataset(outdir: str, cfg: SynthConfig) -> dict:
             fi.write(f"{c}\t{len(seq)}\t{offset}\t60\t61\n")
             offset += len(seq) + len(seq) // 60 + (1 if len(seq) % 60 else 0)
 
-    # --- variants ---
+    # --- variants: grid placement (spacing 2*read_len) with jitter, so
+    # reads overlap exactly one variant and placement is O(n) ---
+    # spacing covers 2*read_len separation even after jitter (< read_len/2)
+    spacing = 2 * cfg.read_len + cfg.read_len // 2 + 2 * cfg.max_indel
+    margin = cfg.read_len + cfg.max_indel
+    slots = []
+    for ci in range(cfg.n_chroms):
+        p = margin
+        while p < cfg.chrom_len - margin - spacing:
+            slots.append((ci, p))
+            p += spacing
+    if len(slots) < cfg.n_variants:
+        raise ValueError(
+            f"genome too small for {cfg.n_variants} variants "
+            f"({len(slots)} slots); increase chrom_len or n_chroms")
+    rng.shuffle(slots)
     variants = []  # (chrom_idx, pos0, ref bytes, alt bytes)
-    used = set()
-    while len(variants) < cfg.n_variants:
-        ci = int(rng.integers(0, cfg.n_chroms))
-        pos = int(rng.integers(cfg.read_len + cfg.max_indel,
-                               cfg.chrom_len - cfg.read_len - cfg.max_indel))
-        if (ci, pos) in used:
-            continue
-        # keep variants separated so reads overlap a single variant
-        if any(c == ci and abs(p - pos) < 2 * cfg.read_len for c, p, *_ in variants):
-            continue
-        used.add((ci, pos))
+    for ci, slot_pos in slots[: cfg.n_variants]:
+        pos = slot_pos + int(rng.integers(0, cfg.read_len // 2))
         g = genome[chroms[ci]]
         r = rng.random()
         if r < 1 - cfg.indel_frac:  # SNV
