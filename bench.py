@@ -112,13 +112,16 @@ def bench_e2e(backend: str):
     d = tempfile.mkdtemp()
     cfg = SynthConfig(n_variants=64, n_cells=400, reads_per_variant=150, seed=7)
     info = generate_dataset(d, cfg)
-    out = os.path.join(d, "out.mtx")
-    t0 = time.time()
-    _main(["-v", info["vcf"], "-b", info["bam"], "-f", info["fasta"],
-           "-c", info["barcodes"], "-o", out, "--backend", backend])
-    dt = time.time() - t0
-    rps = info["n_reads"] / dt
-    log(f"e2e [{backend}]: {info['n_reads']} reads in {dt:.1f}s -> {rps:.0f} reads/s")
+    rps = 0.0
+    for trial in ("cold", "warm"):
+        out = os.path.join(d, f"out_{trial}.mtx")
+        t0 = time.time()
+        _main(["-v", info["vcf"], "-b", info["bam"], "-f", info["fasta"],
+               "-c", info["barcodes"], "-o", out, "--backend", backend])
+        dt = time.time() - t0
+        rps = info["n_reads"] / dt
+        log(f"e2e [{backend}, {trial}]: {info['n_reads']} reads in {dt:.1f}s "
+            f"-> {rps:.0f} reads/s")
     return rps
 
 

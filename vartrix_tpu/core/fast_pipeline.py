@@ -212,8 +212,15 @@ def score_all_fast(
             w = works[int(hk) // 2]
             hap = w.rref if int(hk) % 2 == 0 else w.alt_hap
             hap_mat[u, : len(hap)] = np.frombuffer(hap, np.uint8)
-        y = hap_mat[inv]
-        scores_flat[sel] = np.asarray(score_batch_fn(x, y), dtype=np.int32)
+        compact = getattr(score_batch_fn, "compact", None)
+        if compact is not None:
+            # compact device protocol: ship unique haps + indices, gather
+            # and widen on device (minimizes host->device transfer)
+            scores_flat[sel] = np.asarray(
+                compact(x, hap_mat, inv.astype(np.int32)), dtype=np.int32)
+        else:
+            y = hap_mat[inv]
+            scores_flat[sel] = np.asarray(score_batch_fn(x, y), dtype=np.int32)
 
     for wi, which, start, count in blocks:
         results[wi][:, which] = scores_flat[start : start + count]

@@ -138,6 +138,54 @@ def make_ybuf(y: np.ndarray, lx: int, unroll: int = 2) -> np.ndarray:
 CHUNK = 32768  # fixed batch chunk so compiled shapes are workload-independent
 
 
+@functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
+def _sw_compact(x_u8: jax.Array, hap_mat: jax.Array, hap_idx: jax.Array,
+                *, lx: int, ly: int, interpret: bool,
+                unroll: int = 2) -> jax.Array:
+    """Compact-transfer entry: x [B, lx] uint8, unique haplotypes
+    [H, ly] uint8, per-pair hap index [B] int32. The int32 widening, the
+    haplotype gather, the reversal and the window-buffer layout all happen
+    ON DEVICE, so the host->device transfer is ~1 byte/base instead of
+    4 bytes/base of a fully materialized window buffer."""
+    B = x_u8.shape[0]
+    pad_top = unroll - 1
+    x_t = x_u8.astype(jnp.int32).T
+    y = hap_mat[hap_idx]                      # [B, ly] uint8
+    yrev = jnp.flip(y, axis=1).astype(jnp.int32).T   # [ly, B]
+    ybuf = jnp.full((pad_top + 2 * lx + ly, B), 1, jnp.int32)
+    ybuf = ybuf.at[pad_top + lx : pad_top + lx + ly].set(yrev)
+    return _sw_pallas_v2(x_t, ybuf, lx=lx, ly=ly, interpret=interpret,
+                         unroll=unroll)
+
+
+def sw_scores_compact_tpu(x: np.ndarray, hap_mat: np.ndarray,
+                          hap_idx: np.ndarray, unroll: int = 2) -> np.ndarray:
+    """x uint8 [B, Lx] (pad 0), hap_mat uint8 [H, Ly] (pad 1),
+    hap_idx int32 [B] -> int32 [B]. Chunked like sw_scores_batch_tpu_v2."""
+    B, lx = x.shape
+    ly = hap_mat.shape[1]
+    interpret = not _on_tpu()
+    hap_dev = jnp.asarray(hap_mat)
+    out = np.empty(B, dtype=np.int32)
+    results, spans = [], []
+    start = 0
+    while start < B:
+        n = min(CHUNK, B - start)
+        bp = _quantized_batch(n)
+        xc = np.zeros((bp, lx), dtype=np.uint8)
+        xc[:n] = x[start : start + n]
+        ic = np.zeros(bp, dtype=np.int32)
+        ic[:n] = hap_idx[start : start + n]
+        results.append(_sw_compact(jnp.asarray(xc), hap_dev, jnp.asarray(ic),
+                                   lx=lx, ly=ly, interpret=interpret,
+                                   unroll=unroll))
+        spans.append((start, n))
+        start += n
+    for r, (s, n) in zip(results, spans):
+        out[s : s + n] = np.asarray(r)[0, :n]
+    return out
+
+
 def _quantized_batch(n: int) -> int:
     """Smallest power-of-two >= n (min 1 lane group of 128), capped at CHUNK."""
     b = LANES
@@ -176,3 +224,7 @@ def sw_scores_batch_tpu_v2(x: np.ndarray, y: np.ndarray,
     for r, (s, n) in zip(results, spans):
         out[s : s + n] = np.asarray(r)[0, :n]
     return out
+
+
+# advertise the compact protocol to the batching layer
+sw_scores_batch_tpu_v2.compact = sw_scores_compact_tpu
