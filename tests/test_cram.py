@@ -1,0 +1,118 @@
+"""CRAM 3.0 format tests: varints, round-trips (verbatim and
+reference-based profiles), and end-to-end pipeline equality."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vartrix_tpu.io.bam import BamReader
+from vartrix_tpu.io.cram import (CramReader, read_itf8, read_ltf8, write_cram,
+                                 write_itf8, write_ltf8)
+
+T = "/root/reference/test"
+
+FAKE_CRAI = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff\x03\x00\x00\x00\x00\x00"
+
+
+class TestVarints:
+    @pytest.mark.parametrize("v", [0, 1, 127, 128, 0x3FFF, 0x4000, 0x3FFFFF,
+                                   0x400000, 0x0FFFFFFF, 0x10000000,
+                                   0x7FFFFFFF, -1, -2])
+    def test_itf8_roundtrip(self, v):
+        buf = write_itf8(v)
+        got, off = read_itf8(buf, 0)
+        assert got == v and off == len(buf)
+
+    @pytest.mark.parametrize("v", [0, 1, 127, 128, 1 << 14, 1 << 20, 1 << 31,
+                                   (1 << 48) + 12345, (1 << 55) - 1, 1 << 55,
+                                   (1 << 62), -1])
+    def test_ltf8_roundtrip(self, v):
+        buf = write_ltf8(v)
+        got, off = read_ltf8(buf, 0)
+        assert got == v and off == len(buf)
+
+
+def _records_equal(r1, r2) -> bool:
+    return (r1.tid == r2.tid and r1.pos == r2.pos and r1.mapq == r2.mapq
+            and r1.flag == r2.flag and r1.cigar == r2.cigar
+            and r1.seq_bytes() == r2.seq_bytes() and r1.qname == r2.qname
+            and r1.aux_string(b"CB") == r2.aux_string(b"CB")
+            and r1.aux_string(b"UB") == r2.aux_string(b"UB"))
+
+
+@pytest.mark.parametrize("ref_based", [False, True])
+def test_roundtrip_reference_bam(tmp_path, ref_based):
+    b = BamReader(f"{T}/test.bam")
+    p = tmp_path / "t.cram"
+    write_cram(str(p), list(zip(b.ref_names, b.ref_lens)), b.records(),
+               fasta_path=f"{T}/test.fa" if ref_based else None)
+    cr = CramReader(str(p), f"{T}/test.fa")
+    assert cr.ref_names == b.ref_names and cr.ref_lens == b.ref_lens
+    n = 0
+    for r1, r2 in zip(b.records(), cr.records()):
+        assert _records_equal(r1, r2), (n, r1.qname)
+        n += 1
+    assert n == 1769
+
+
+def test_roundtrip_synthetic_cigar_diversity(tmp_path):
+    """Soft clips, N-splits, deletions, duplicates — through CRAM."""
+    from vartrix_tpu.utils.synth import SynthConfig, generate_dataset
+
+    info = generate_dataset(str(tmp_path / "d"), SynthConfig(
+        n_variants=8, n_cells=20, reads_per_variant=40, indel_frac=0.3, seed=77))
+    b = BamReader(info["bam"])
+    p = tmp_path / "s.cram"
+    write_cram(str(p), list(zip(b.ref_names, b.ref_lens)), b.records(),
+               fasta_path=info["fasta"])
+    cr = CramReader(str(p), info["fasta"])
+    n = 0
+    for r1, r2 in zip(b.records(), cr.records()):
+        assert _records_equal(r1, r2), (n, r1.qname, r1.cigar, r2.cigar)
+        n += 1
+    assert n == info["n_reads"]
+
+
+def test_multi_container(tmp_path):
+    b = BamReader(f"{T}/test.bam")
+    p = tmp_path / "m.cram"
+    write_cram(str(p), list(zip(b.ref_names, b.ref_lens)), b.records(),
+               records_per_container=500)
+    cr = CramReader(str(p), f"{T}/test.fa")
+    assert sum(1 for _ in cr.records()) == 1769
+
+
+@pytest.mark.parametrize("host", ["python", "native"])
+def test_cram_pipeline_matches_golden(tmp_path, host):
+    from vartrix_tpu.driver import _main
+    from vartrix_tpu.io.matrix_market import read_matrix_market
+
+    b = BamReader(f"{T}/test.bam")
+    cram = tmp_path / "test.cram"
+    write_cram(str(cram), list(zip(b.ref_names, b.ref_lens)), b.records(),
+               fasta_path=f"{T}/test.fa")
+    (tmp_path / "test.cram.crai").write_bytes(FAKE_CRAI)
+    out = tmp_path / "o.mtx"
+    _main(["-v", f"{T}/test.vcf", "-b", str(cram), "-f", f"{T}/test.fa",
+           "-c", f"{T}/barcodes.tsv", "-o", str(out), "--backend", "cpu",
+           "--host", host])
+    assert read_matrix_market(str(out)).to_canonical() == \
+        read_matrix_market(f"{T}/test_consensus.mtx").to_canonical()
+
+
+def test_rans_order0_roundtrip_via_handcrafted_stream():
+    """Decode a hand-built rANS order-0 stream (uniform single symbol)."""
+    import struct
+
+    from vartrix_tpu.io.cram import rans_decode_4x8
+
+    # encode "AAAA..." with freq[65]=4096: encoder states never need
+    # renorm bytes for the all-probability-1 symbol
+    n = 16
+    freq_table = bytes([65]) + b"\x90\x00" + bytes([0])  # sym 65, f=4096 (ITF8 2-byte), end
+    states = struct.pack("<4I", *( [1 << 23] * 4 ))
+    payload = bytes([0]) + struct.pack("<I", 0) + struct.pack("<I", n) \
+        + freq_table + states
+    out = rans_decode_4x8(payload, n)
+    assert out == b"A" * n

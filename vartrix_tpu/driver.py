@@ -92,6 +92,20 @@ def validate_inputs(records, bam: BamReader, fasta_index: FastaIndex) -> None:
             sys.exit(1)
 
 
+def _is_cram(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(4) == b"CRAM"
+
+
+def open_reads(path: str, fasta_path: str):
+    """BamReader for BAM inputs, CramReader (same record interface) for
+    CRAM (detected by magic, like htslib)."""
+    if _is_cram(path):
+        from .io.cram import CramReader
+        return CramReader(path, fasta_path)
+    return BamReader(path)
+
+
 def write_variants(out_variants: str, vcf_file: str) -> None:
     with open(out_variants, "wt") as f:
         for rec in iter_vcf_records(vcf_file):
@@ -182,7 +196,7 @@ def _main(argv: List[str]) -> None:
     matrix = TriMat((num_vars, len(cell_barcodes)))
     ref_matrix = TriMat((num_vars, len(cell_barcodes)))
 
-    bam = BamReader(args.bam)
+    bam = open_reads(args.bam, args.fasta)
     fasta = IndexedFasta(args.fasta)
     validate_inputs(records, bam, fasta.index)
 
@@ -221,7 +235,17 @@ def _main(argv: List[str]) -> None:
         from .core.fast_pipeline import collect_reads_fast, score_all_fast
         from .io.bam_native import ColumnarBam
 
-        cbam = ColumnarBam(args.bam, pargs.bam_tag.encode(),
+        bam_path = args.bam
+        if _is_cram(args.bam):
+            # the columnar native decoder consumes BAM byte streams;
+            # transcode the CRAM once (decode cost is paid either way)
+            import tempfile
+            from .io.cram import transcode_to_bam
+            tmp = tempfile.NamedTemporaryFile(suffix=".bam", delete=False)
+            tmp.close()
+            transcode_to_bam(args.bam, tmp.name, args.fasta)
+            bam_path = tmp.name
+        cbam = ColumnarBam(bam_path, pargs.bam_tag.encode(),
                            n_threads=max(args.threads, 1))
         read_idx, cells_l, umis_l = collect_reads_fast(
             cbam, works, cell_barcodes, pargs)
