@@ -81,3 +81,25 @@ def test_metrics_match_between_hosts(tmp_path, capsys):
 
     assert m_p.as_dict() == m_n.as_dict()
     assert m_p.num_reads > 0
+
+
+@pytest.mark.parametrize("extra", [
+    [], ["--umi"], ["-s", "alt_frac"], ["-s", "alt_frac", "--umi"],
+    ["-s", "coverage"], ["-s", "coverage", "--umi"],
+])
+def test_device_agg_matches_host_agg(tmp_path, extra):
+    """--device-agg (on-accelerator scatter-add + UMI consensus) must be
+    byte-identical to the host aggregation in every mode."""
+    cfg = SynthConfig(n_variants=14, n_cells=35, reads_per_variant=35,
+                      indel_frac=0.25, seed=61)
+    info = generate_dataset(str(tmp_path / "d"), cfg)
+    outs = {}
+    for da in (False, True):
+        o = tmp_path / f"o{da}.mtx"
+        r = tmp_path / f"r{da}.mtx"
+        _main(["-v", info["vcf"], "-b", info["bam"], "-f", info["fasta"],
+               "-c", info["barcodes"], "-o", str(o), "--ref-matrix", str(r),
+               "--backend", "cpu", "--host", "native"]
+              + (["--device-agg"] if da else []) + extra)
+        outs[da] = (canon(o), canon(r) if "coverage" in extra else None)
+    assert outs[False] == outs[True]

@@ -87,6 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Spill per-variant score blocks to this directory and "
                         "resume from them on a rerun (long-run fault tolerance; "
                         "the reference has no equivalent)")
+    p.add_argument("--device-agg", dest="device_agg", action="store_true",
+                   help="Run the call + (variant,cell) scatter-add aggregation "
+                        "(incl. UMI-group consensus) on the accelerator instead "
+                        "of the host (identical output)")
     p.add_argument("--num-shards", dest="num_shards", type=int, default=1,
                    metavar="N",
                    help="Distribute over N hosts/processes: this process "

@@ -54,6 +54,22 @@ def count_block(
     return flat.reshape(n_rows, n_cells, 4)
 
 
+def grouped_counts(
+    calls: jax.Array,   # [N] int32 codes 0..3 (0 = dropped)
+    gid: jax.Array,     # [N] int32 dense (variant, cell) group id
+    valid: jax.Array,   # [N] bool
+    n_groups: int,
+) -> jax.Array:
+    """[n_groups, 4] (seen, ref, alt, unk) counts per (variant, cell)
+    group — the sparse-group flavor of count_block for the non-UMI path.
+    Channel 0 counts every surviving-filter read (explicit-zero
+    semantics); merge across shards by addition."""
+    onehot = jax.nn.one_hot(calls, 4, dtype=jnp.int32)
+    feats = jnp.concatenate([jnp.ones_like(calls)[:, None], onehot[:, 1:]], axis=1)
+    feats = jnp.where(valid[:, None], feats, 0)
+    return jax.ops.segment_sum(feats, gid, num_segments=n_groups)
+
+
 def umi_consensus_counts(
     calls: jax.Array,          # [N] int32 codes 0..3 (0 = dropped)
     umi_group: jax.Array,      # [N] int32: dense id of this read's (variant, cell, umi) group
