@@ -69,3 +69,45 @@ def test_refuses_existing_output(tmp_path, dataset):
                        capture_output=True, text=True, env=ENV, cwd=REPO)
     assert r.returncode == 1
     assert "already exists" in r.stderr
+
+
+def test_jax_distributed_two_processes(tmp_path, dataset):
+    """Full --distributed run: 2 jax.distributed CPU processes (gloo
+    collectives), row-sharded, matrices merged via process_allgather,
+    rank 0 writes — must equal a single-process run."""
+    import json
+
+    full = tmp_path / "single.mtx"
+    run(base_args(dataset, full) + ["-s", "coverage", "--ref-matrix",
+                                    str(tmp_path / "single.ref"), "--umi"])
+    json.dump({k: dataset[k] for k in ("vcf", "bam", "fasta", "barcodes")},
+              open(tmp_path / "info.json", "w"))
+    worker = tmp_path / "worker.py"
+    worker.write_text(f"""
+import sys, os
+sys.path.insert(0, {REPO!r})
+rank = int(sys.argv[1])
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+except Exception:
+    pass
+import json
+info = json.load(open({str(tmp_path / 'info.json')!r}))
+from vartrix_tpu.driver import _main
+_main(["-v", info["vcf"], "-b", info["bam"], "-f", info["fasta"],
+       "-c", info["barcodes"], "-o", {str(tmp_path / 'dist.mtx')!r},
+       "--backend", "cpu", "-s", "coverage",
+       "--ref-matrix", {str(tmp_path / 'dist.ref')!r}, "--umi",
+       "--distributed", "localhost:29881,2," + str(rank)])
+""")
+    procs = [subprocess.Popen([sys.executable, str(worker), str(r)],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=ENV) for r in range(2)]
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        assert p.returncode == 0, out[-1500:]
+    assert canon(tmp_path / "dist.mtx") == canon(full)
+    assert canon(tmp_path / "dist.ref") == canon(tmp_path / "single.ref")

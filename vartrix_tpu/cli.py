@@ -98,4 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "writes a partial matrix (merge with vartrix-merge)")
     p.add_argument("--shard-index", dest="shard_index", type=int, default=0,
                    metavar="I", help="This process's shard index in [0, N)")
+    p.add_argument("--distributed", dest="distributed", metavar="ADDR:PORT,N,RANK",
+                   default=None,
+                   help="Run as one process of a jax.distributed job: shard "
+                        "variant rows by process, merge matrices with "
+                        "collectives, rank 0 writes the outputs. Pass "
+                        "coordinator address, process count and rank (or "
+                        "'auto' on TPU pods).")
     return p

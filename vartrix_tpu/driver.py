@@ -210,6 +210,17 @@ def _main(argv: List[str]) -> None:
         padding=args.padding,
     )
 
+    dist_rank, dist_count = 0, 1
+    if args.distributed:
+        from .parallel.multihost import init_distributed
+        if args.distributed == "auto":
+            dist_rank, dist_count = init_distributed()
+        else:
+            addr, n_s, rank_s = args.distributed.rsplit(",", 2)
+            dist_rank, dist_count = init_distributed(addr, int(n_s), int(rank_s))
+        args.num_shards, args.shard_index = dist_count, dist_rank
+        log.info("Distributed: process %d/%d", dist_rank, dist_count)
+
     row_range = None
     if args.num_shards > 1:
         from .parallel.multihost import shard_range
@@ -387,6 +398,17 @@ def _main(argv: List[str]) -> None:
                 raise ValueError("Scoring method is invalid")
 
     log.debug("Finished scoring alignments for all variants")
+
+    if args.distributed and dist_count > 1:
+        from .parallel.multihost import gather_metrics, gather_triplets
+        matrix = gather_triplets(matrix, dist_rank, dist_count)
+        if args.scoring_method == "coverage":
+            ref_matrix = gather_triplets(ref_matrix, dist_rank, dist_count)
+        metrics = gather_metrics(metrics, dist_count)
+        if dist_rank != 0:
+            log_metrics(log, metrics)
+            return
+
     log_metrics(log, metrics)
 
     write_matrix_market(args.out_matrix, matrix)

@@ -849,8 +849,7 @@ class CramReader:
             for _ in range(n_land):
                 _lm, hoff = read_itf8(raw, hoff)
             hoff += 4  # crc
-            end = hoff + length if False else None  # length counts block bytes
-            boff = hoff
+            boff = hoff  # container length counts block bytes; we walk by count
             blocks = []
             for _ in range(n_blocks):
                 b, boff = read_block(raw, boff)
@@ -1113,7 +1112,6 @@ def _write_data_container(chunk, counter, ref_fetch=None) -> bytes:
     pres += b"SM" + b"\x1b" * 5
     td_blob = b"\x00".join(tag_lines) + b"\x00" if tag_lines else b"\x00"
     pres += b"TD" + write_itf8(len(td_blob)) + td_blob
-    pres_map = write_itf8(4 + 1) if False else None
     pres_full = write_itf8(5) + pres  # nkeys=5
     pres_block = write_itf8(len(pres_full)) + pres_full
 
@@ -1155,7 +1153,6 @@ def _write_data_container(chunk, counter, ref_fetch=None) -> bytes:
         content_ids.append(cid)
     core_block = write_block(Block(0, CT_CORE, 0, b""), compress=False)
 
-    sh = write_itf8(-2 & 0xFFFFFFFF if False else 0) if False else None
     shdr = bytearray()
     shdr += write_itf8(-2)          # multi-ref slice
     shdr += write_itf8(0)           # start

@@ -86,3 +86,48 @@ def merge_main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("partials", nargs="+", help="Partial .mtx files")
     args = p.parse_args(argv)
     merge_partials(args.out, args.partials)
+
+
+def gather_triplets(matrix, process_index: int, process_count: int):
+    """Merge per-process partial TriMats (disjoint rows) into process 0
+    via process_allgather over padded fixed-size buffers. Returns the
+    merged TriMat on every process (identical content)."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from ..io.matrix_market import TriMat
+
+    local = np.zeros((3, matrix.nnz()), dtype=np.float64)
+    local[0] = matrix.rows
+    local[1] = matrix.cols
+    local[2] = matrix.data
+    counts = multihost_utils.process_allgather(
+        np.array([matrix.nnz()], dtype=np.int64))
+    max_n = int(counts.max()) if counts.size else 0
+    padded = np.zeros((3, max_n), dtype=np.float64)
+    padded[:, : matrix.nnz()] = local
+    gathered = multihost_utils.process_allgather(padded)
+    merged = TriMat(matrix.shape)
+    for p in range(process_count):
+        n = int(counts[p][0]) if counts.ndim > 1 else int(counts[p])
+        for k in range(n):
+            merged.add_triplet(int(gathered[p][0][k]), int(gathered[p][1][k]),
+                               float(gathered[p][2][k]))
+    return merged
+
+
+def gather_metrics(metrics, process_count: int):
+    """Sum Metrics counters across processes (psum-equivalent gather)."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from ..utils.metrics import Metrics
+
+    keys = sorted(metrics.as_dict())
+    vec = np.array([metrics.as_dict()[k] for k in keys], dtype=np.int64)
+    allv = multihost_utils.process_allgather(vec)
+    total = np.asarray(allv).reshape(process_count, -1).sum(axis=0)
+    merged = Metrics()
+    for k, v in zip(keys, total):
+        setattr(merged, k, int(v))
+    return merged
