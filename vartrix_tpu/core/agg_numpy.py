@@ -90,3 +90,52 @@ def coverage_vec(cells, umis, scores2, i, use_umi):
     seen, ref_c, alt_c, unk_c = _cell_counts(cells, umis, scores2, use_umi)
     _warn_unknowns(i, seen, unk_c)
     return seen, alt_c.astype(np.float64), ref_c.astype(np.float64)
+
+
+def aggregate_flat(cells_l, umis_l, scores_l, use_umi):
+    """Flat aggregation across ALL variants at once (no per-variant Python
+    loop): same group-key construction as the device path, same counts
+    semantics as the per-variant functions above.
+
+    -> (rows, cols, ref_count, alt_count, unk_count) sorted by (row, col),
+    one entry per (variant, cell) group with >= 1 filter-surviving read.
+    """
+    n_reads = sum(len(c) for c in cells_l)
+    if n_reads == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z, z
+    rows = np.concatenate([np.full(len(c), i, np.int64)
+                           for i, c in enumerate(cells_l)])
+    cells = np.concatenate(cells_l).astype(np.int64)
+    scores = np.concatenate(scores_l, axis=0)
+    r, a = scores[:, 0], scores[:, 1]
+    drop = (r < MIN_SCORE) & (a < MIN_SCORE)
+    call = np.where(r > a, 1, np.where(a > r, 2, -1)).astype(np.int8)
+
+    cell_key = rows << 24 | cells  # cells < 2^24
+    cg_uniq, cg = np.unique(cell_key, return_inverse=True)
+    n_cg = len(cg_uniq)
+
+    kept = ~drop
+    kcg = cg[kept]
+    kcall = call[kept]
+    if use_umi:
+        umis = np.concatenate(umis_l).astype(np.int64)[kept]
+        ug_key = (kcg.astype(np.int64) << 30) | umis
+        ug_uniq, ug = np.unique(ug_key, return_inverse=True)
+        nu = len(ug_uniq)
+        refc = np.bincount(ug, weights=(kcall == 1), minlength=nu)
+        altc = np.bincount(ug, weights=(kcall == 2), minlength=nu)
+        unkc = np.bincount(ug, weights=(kcall == -1), minlength=nu)
+        tot = refc + altc + unkc
+        # frac >= 0.75 as exact integer compare (4*c >= 3*tot)
+        ucall = np.where(4 * altc >= 3 * tot, 2,
+                         np.where(4 * refc >= 3 * tot, 1, -1)).astype(np.int8)
+        gcg = (ug_uniq >> 30).astype(np.int64)
+    else:
+        ucall = kcall
+        gcg = kcg
+    ref_c = np.bincount(gcg, weights=(ucall == 1), minlength=n_cg).astype(np.int64)
+    alt_c = np.bincount(gcg, weights=(ucall == 2), minlength=n_cg).astype(np.int64)
+    unk_c = np.bincount(gcg, weights=(ucall == -1), minlength=n_cg).astype(np.int64)
+    return ((cg_uniq >> 24), (cg_uniq & ((1 << 24) - 1)), ref_c, alt_c, unk_c)

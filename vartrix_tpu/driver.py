@@ -305,51 +305,33 @@ def _main(argv: List[str]) -> None:
             from .core.agg_device_driver import aggregate_on_device
             g_rows, g_cols, ref_c, alt_c, unk_c = aggregate_on_device(
                 cells_l, umis_l, per_variant_scores, pargs.use_umi)
-            tot = (ref_c + alt_c + unk_c).astype(np.float64)
-            if args.scoring_method == "consensus":
-                vals = np.where((ref_c > 0) & (alt_c > 0), 3.0,
-                                np.where(alt_c > 0, 2.0,
-                                         np.where(ref_c > 0, 1.0, 0.0)))
-                for r, c, v in zip(g_rows, g_cols, vals):
-                    if v > 0:
-                        matrix.add_triplet(int(r), int(c), float(v))
-            elif args.scoring_method == "alt_frac":
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    vals = alt_c / tot  # 0/0 -> NaN preserved
-                for r, c, v in zip(g_rows, g_cols, vals):
-                    matrix.add_triplet(int(r), int(c), float(v))
-            elif args.scoring_method == "coverage":
-                for r, c, av, rv in zip(g_rows, g_cols, alt_c, ref_c):
-                    matrix.add_triplet(int(r), int(c), float(av))
-                    ref_matrix.add_triplet(int(r), int(c), float(rv))
-            else:
-                raise ValueError("Scoring method is invalid")
-            if log.isEnabledFor(logging.INFO):
-                for r, c in zip(g_rows[unk_c > 1], g_cols[unk_c > 1]):
-                    log.info("Variant at index %d has multiple unknown reads "
-                             "at barcode index %d. Check this locus manually",
-                             int(r), int(c))
-            per_variant_iter = []
         else:
-            per_variant_iter = list(zip(works, cells_l, umis_l, per_variant_scores))
-        for w, cells, umis, sc in per_variant_iter:
-            i = w.row
-            if args.scoring_method == "alt_frac":
-                cols, vals = agg_numpy.alt_frac_vec(cells, umis, sc, i, pargs.use_umi)
-                for j, r in zip(cols, vals):
-                    matrix.add_triplet(i, int(j), float(r))
-            elif args.scoring_method == "consensus":
-                cols, vals = agg_numpy.consensus_vec(cells, umis, sc, i, pargs.use_umi)
-                for j, r in zip(cols, vals):
-                    matrix.add_triplet(i, int(j), float(r))
-            elif args.scoring_method == "coverage":
-                cols, alt_vals, ref_vals = agg_numpy.coverage_vec(
-                    cells, umis, sc, i, pargs.use_umi)
-                for j, av, rv in zip(cols, alt_vals, ref_vals):
-                    matrix.add_triplet(i, int(j), float(av))
-                    ref_matrix.add_triplet(i, int(j), float(rv))
-            else:
-                raise ValueError("Scoring method is invalid")
+            g_rows, g_cols, ref_c, alt_c, unk_c = agg_numpy.aggregate_flat(
+                cells_l, umis_l, per_variant_scores, pargs.use_umi)
+        tot = (ref_c + alt_c + unk_c).astype(np.float64)
+        if args.scoring_method == "consensus":
+            vals = np.where((ref_c > 0) & (alt_c > 0), 3.0,
+                            np.where(alt_c > 0, 2.0,
+                                     np.where(ref_c > 0, 1.0, 0.0)))
+            for r, c, v in zip(g_rows, g_cols, vals):
+                if v > 0:
+                    matrix.add_triplet(int(r), int(c), float(v))
+        elif args.scoring_method == "alt_frac":
+            with np.errstate(invalid="ignore", divide="ignore"):
+                vals = alt_c / tot  # 0/0 -> NaN preserved
+            for r, c, v in zip(g_rows, g_cols, vals):
+                matrix.add_triplet(int(r), int(c), float(v))
+        elif args.scoring_method == "coverage":
+            for r, c, av, rv in zip(g_rows, g_cols, alt_c, ref_c):
+                matrix.add_triplet(int(r), int(c), float(av))
+                ref_matrix.add_triplet(int(r), int(c), float(rv))
+        else:
+            raise ValueError("Scoring method is invalid")
+        if log.isEnabledFor(logging.INFO):
+            for r, c in zip(g_rows[unk_c > 1], g_cols[unk_c > 1]):
+                log.info("Variant at index %d has multiple unknown reads "
+                         "at barcode index %d. Check this locus manually",
+                         int(r), int(c))
     else:
         collect_reads(bam, works, cell_barcodes, pargs)
         per_variant_scores = score_all(works, score_fn)
