@@ -103,3 +103,46 @@ def test_device_agg_matches_host_agg(tmp_path, extra):
               + (["--device-agg"] if da else []) + extra)
         outs[da] = (canon(o), canon(r) if "coverage" in extra else None)
     assert outs[False] == outs[True]
+
+
+def test_mixed_read_lengths(tmp_path):
+    """Reads of different lengths land in different kernel shape buckets;
+    both hosts and both paddings must agree."""
+    import numpy as np
+
+    from vartrix_tpu.io.bam import BamReader
+    from vartrix_tpu.io.bam_writer import encode_record, write_bam
+    from vartrix_tpu.io.fasta import IndexedFasta
+
+    cfg = SynthConfig(n_variants=6, n_cells=10, reads_per_variant=5, seed=91)
+    info = generate_dataset(str(tmp_path / "base"), cfg)
+    # rewrite the BAM with varied read lengths (30..250bp windows re-cut
+    # from each read's own sequence)
+    rng = np.random.default_rng(0)
+    fa = IndexedFasta(info["fasta"])
+    src = BamReader(info["bam"])
+    out_records = []
+    for i, rec in enumerate(src.records()):
+        L = int(rng.choice([40, 80, 150, 250]))
+        chrom = src.ref_names[rec.tid]
+        seq = fa.fetch(chrom, rec.pos, rec.pos + L)
+        if len(seq) < 20:
+            continue
+        tags = [(t, rec.aux_string(t)) for t in (b"CB", b"UB")
+                if rec.aux_string(t) is not None]
+        out_records.append(encode_record(
+            qname=f"m{i}".encode(), flag=rec.flag & ~0x900, tid=rec.tid,
+            pos=rec.pos, mapq=60, cigar=[(0, len(seq))], seq=seq, tags=tags))
+    mixed = tmp_path / "mixed.bam"
+    write_bam(str(mixed), list(zip(src.ref_names, src.ref_lens)), out_records)
+
+    outs = {}
+    for host in ("python", "native"):
+        o = tmp_path / f"o_{host}.mtx"
+        _main(["-v", info["vcf"], "-b", str(mixed), "-f", info["fasta"],
+               "-c", info["barcodes"], "-o", str(o), "--backend", "cpu",
+               "--host", host, "-s", "coverage",
+               "--ref-matrix", str(tmp_path / f"r_{host}.mtx")])
+        outs[host] = (canon(o), canon(tmp_path / f"r_{host}.mtx"))
+    assert outs["python"] == outs["native"]
+    assert outs["python"][0][0] == (cfg.n_variants, cfg.n_cells)
