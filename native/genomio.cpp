@@ -363,6 +363,26 @@ GioBam* gio_bam_load(const char* path, const char* cb_tag, int n_threads) {
 
 void gio_bam_free(GioBam* h) { delete h; }
 
+// Padded read gather: out[i] = pool[seq_off[r]:seq_off[r+1]] (r =
+// read_ids[i]) truncated/zero-padded to lx bytes. This is the device-batch
+// packing step (kernel read pad byte is 0); it replaces a numpy
+// fancy-index gather whose [n, lx] int64 index matrix dominated host time.
+void gio_gather_padded(const uint8_t* pool, const int64_t* seq_off,
+                       const int64_t* read_ids, int64_t n, int32_t lx,
+                       uint8_t* out, int n_threads) {
+  parallel_chunks(n, n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      int64_t r = read_ids[i];
+      int64_t s = seq_off[r];
+      int64_t len = seq_off[r + 1] - s;
+      if (len > lx) len = lx;
+      uint8_t* dst = out + i * (int64_t)lx;
+      if (len > 0) memcpy(dst, pool + s, (size_t)len);
+      if (len < lx) memset(dst + len, 0, (size_t)(lx - len));
+    }
+  });
+}
+
 const char* gio_bam_error(GioBam* h) {
   return h->error.empty() ? nullptr : h->error.c_str();
 }

@@ -103,3 +103,29 @@ def test_native_banded_bounded_by_full():
     assert np.all(banded <= full)
     # realistic embedded reads: band covers the optimal path
     assert (banded == full).mean() == 1.0
+
+
+def test_native_gather_padded_matches_numpy():
+    """gather_padded (threaded C++ memcpy) == the numpy oracle, including
+    truncation (len > lx), zero-length reads and zero padding."""
+    from vartrix_tpu.io.bam_native import gather_padded, native_available
+
+    if not native_available():
+        pytest.skip("libgenomio unavailable")
+    rng = np.random.default_rng(42)
+    lens = rng.integers(0, 200, 1000)
+    off = np.zeros(1001, np.int64)
+    off[1:] = np.cumsum(lens)
+    pool = rng.integers(1, 255, int(off[-1])).astype(np.uint8)
+    ids = rng.integers(0, 1000, 5000).astype(np.int64)
+    for lx in (64, 152, 256):
+        out = gather_padded(pool, off, ids, lx)
+        if out is None:
+            pytest.skip("stale libgenomio without gio_gather_padded")
+        exp = np.zeros((len(ids), lx), np.uint8)
+        for i, r in enumerate(ids):
+            s = int(off[r])
+            n = min(int(off[r + 1]) - s, lx)
+            exp[i, :n] = pool[s:s + n]
+        assert np.array_equal(out, exp)
+    assert gather_padded(pool, off, np.zeros(0, np.int64), 64).shape == (0, 64)

@@ -181,11 +181,21 @@ def collect_reads_fast(
 
 
 def gather_reads(cbam: ColumnarBam, read_ids: np.ndarray, lx: int) -> np.ndarray:
-    """[B, lx] uint8 read matrix (pad byte 0) gathered from the seq pool."""
-    starts = cbam.seq_off[read_ids]
-    lens = cbam.seq_off[read_ids + 1] - starts
-    cols = np.arange(lx, dtype=np.int64)
-    idx = np.minimum(starts[:, None] + cols, len(cbam.seq_pool) - 1)
+    """[B, lx] uint8 read matrix (pad byte 0) gathered from the seq pool.
+
+    Native threaded memcpy when available (the numpy fancy-index gather's
+    [B, lx] index matrix dominated host time at ~1M pairs); numpy fallback
+    keeps indices int32 when the pool allows."""
+    from ..io.bam_native import gather_padded, native_available
+    if native_available():
+        out = gather_padded(cbam.seq_pool, cbam.seq_off, read_ids, lx)
+        if out is not None:
+            return out
+    idt = np.int32 if len(cbam.seq_pool) < 2**31 - 1 else np.int64
+    starts = cbam.seq_off[read_ids].astype(idt)
+    lens = (cbam.seq_off[read_ids + 1] - cbam.seq_off[read_ids]).astype(idt)
+    cols = np.arange(lx, dtype=idt)
+    idx = np.minimum(starts[:, None] + cols, idt(len(cbam.seq_pool) - 1))
     out = cbam.seq_pool[idx]
     out[cols[None, :] >= lens[:, None]] = 0
     return out

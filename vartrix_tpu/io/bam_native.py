@@ -58,8 +58,43 @@ def get_lib() -> ctypes.CDLL:
         for name, ct in ptr_specs.items():
             getattr(lib, name).restype = ctypes.POINTER(ct)
             getattr(lib, name).argtypes = [vp]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        try:  # absent in pre-existing .so builds; callers fall back to numpy
+            lib.gio_gather_padded.restype = None
+            lib.gio_gather_padded.argtypes = [
+                u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int32, u8p,
+                ctypes.c_int]
+        except AttributeError:
+            pass
         _lib = lib
     return _lib
+
+
+def gather_padded(seq_pool: np.ndarray, seq_off: np.ndarray,
+                  read_ids: np.ndarray, lx: int,
+                  n_threads: int = 0) -> Optional[np.ndarray]:
+    """Threaded native [n, lx] uint8 padded gather (pad byte 0); returns
+    None when the loaded library predates the symbol."""
+    lib = get_lib()
+    if not hasattr(lib, "gio_gather_padded"):
+        return None
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    read_ids = np.ascontiguousarray(read_ids, dtype=np.int64)
+    out = np.empty((len(read_ids), lx), dtype=np.uint8)
+    if len(read_ids) == 0:
+        return out
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    pool = np.ascontiguousarray(seq_pool, dtype=np.uint8)
+    off = np.ascontiguousarray(seq_off, dtype=np.int64)
+    lib.gio_gather_padded(
+        pool.ctypes.data_as(u8p), off.ctypes.data_as(i64p),
+        read_ids.ctypes.data_as(i64p), ctypes.c_int64(len(read_ids)),
+        ctypes.c_int32(lx), out.ctypes.data_as(u8p),
+        ctypes.c_int(n_threads))
+    return out
 
 
 def native_available() -> bool:
