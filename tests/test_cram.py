@@ -116,3 +116,63 @@ def test_rans_order0_roundtrip_via_handcrafted_stream():
         + freq_table + states
     out = rans_decode_4x8(payload, n)
     assert out == b"A" * n
+
+
+def test_crai_indexed_fetch_matches_linear(tmp_path):
+    """write_crai + indexed fetch == linear-scan fetch on every region,
+    decoding only the containers the index selects."""
+    from vartrix_tpu.io.cram import read_crai, write_crai
+
+    b = BamReader(f"{T}/test.bam")
+    p = tmp_path / "idx.cram"
+    write_cram(str(p), list(zip(b.ref_names, b.ref_lens)), b.records(),
+               records_per_container=300, fasta_path=f"{T}/test.fa")
+    write_crai(str(p), fasta_path=f"{T}/test.fa")
+    entries = read_crai(str(p) + ".crai")
+    assert entries, "index should be non-empty"
+
+    plain = CramReader(str(p), f"{T}/test.fa")
+    plain._crai = None  # force the linear-scan path
+    indexed = CramReader(str(p), f"{T}/test.fa")
+    regions = [("1", 150, 250), ("17", 0, 400), ("2", 199, 200),
+               ("7", 390, 400)]
+    for chrom, s, e in regions:
+        a = [(r.qname, r.pos, r.flag) for r in plain.fetch(chrom, s, e)]
+        c = [(r.qname, r.pos, r.flag) for r in indexed.fetch(chrom, s, e)]
+        assert a == c, (chrom, s, e)
+    assert indexed._crai not in (None,), "indexed reader must have used .crai"
+    # the index restricted decoding: not every container was touched
+    assert len(indexed._cont_cache) < len(indexed.container_offsets())
+
+
+def test_crai_invalid_index_falls_back(tmp_path):
+    """An unparseable/fake .crai (reference only checks existence) must not
+    break fetch — it degrades to the linear scan."""
+    b = BamReader(f"{T}/test.bam")
+    p = tmp_path / "f.cram"
+    write_cram(str(p), list(zip(b.ref_names, b.ref_lens)), b.records(),
+               fasta_path=f"{T}/test.fa")
+    (tmp_path / "f.cram.crai").write_bytes(FAKE_CRAI)
+    cr = CramReader(str(p), f"{T}/test.fa")
+    got = sum(1 for _ in cr.fetch("1", 0, 400))
+    assert got == sum(1 for r in BamReader(f"{T}/test.bam").fetch("1", 0, 400))
+
+
+def test_cram_pipeline_with_real_crai_matches_golden(tmp_path):
+    """End-to-end through the python host path with a genuine .crai: the
+    per-variant fetch takes the indexed route and output stays golden."""
+    from vartrix_tpu.driver import _main
+    from vartrix_tpu.io.cram import write_crai
+    from vartrix_tpu.io.matrix_market import read_matrix_market
+
+    b = BamReader(f"{T}/test.bam")
+    cram = tmp_path / "test.cram"
+    write_cram(str(cram), list(zip(b.ref_names, b.ref_lens)), b.records(),
+               fasta_path=f"{T}/test.fa")
+    write_crai(str(cram), fasta_path=f"{T}/test.fa")
+    out = tmp_path / "o.mtx"
+    _main(["-v", f"{T}/test.vcf", "-b", str(cram), "-f", f"{T}/test.fa",
+           "-c", f"{T}/barcodes.tsv", "-o", str(out), "--backend", "cpu",
+           "--host", "python"])
+    assert read_matrix_market(str(out)).to_canonical() == \
+        read_matrix_market(f"{T}/test_consensus.mtx").to_canonical()

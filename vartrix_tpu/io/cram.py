@@ -738,6 +738,80 @@ def _decode_slice_records(ch: CompressionHeader, slice_ref: int,
 # ---------------------------------------------------------------------------
 # container-level reader
 
+_UNSET = object()  # CramReader._crai sentinel: index not probed yet
+
+
+def read_crai(path: str):
+    """Parse a .crai index (gzipped TSV, htslib flavor): one entry per
+    (slice, reference) as (seq_id, start0, span, container_offset,
+    slice_offset, slice_size). Alignment starts are 1-based in the file."""
+    import gzip
+    entries = []
+    with gzip.open(path, "rt") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            seq, start1, span, coff, soff, ssize = (
+                int(x) for x in line.split("\t")[:6])
+            entries.append((seq, max(start1 - 1, 0), span, coff, soff, ssize))
+    return entries
+
+
+def _cont_geometry(raw: bytes, off: int):
+    """-> (landmarks, blocks_off, block_bytes) for the container at off."""
+    (length,) = struct.unpack_from("<i", raw, off)
+    hoff = off + 4
+    for _ in range(4):
+        _v, hoff = read_itf8(raw, hoff)
+    _v, hoff = read_ltf8(raw, hoff)
+    _v, hoff = read_ltf8(raw, hoff)
+    _nb, hoff = read_itf8(raw, hoff)
+    n_land, hoff = read_itf8(raw, hoff)
+    landmarks = []
+    for _ in range(n_land):
+        lm, hoff = read_itf8(raw, hoff)
+        landmarks.append(lm)
+    hoff += 4  # crc
+    return landmarks, hoff, length
+
+
+def write_crai(cram_path: str, crai_path: Optional[str] = None,
+               fasta_path: Optional[str] = None) -> str:
+    """Build a .crai for a CRAM file by decoding it (one index line per
+    (container, reference) with the min-start/span of its records; htslib
+    expands multi-ref slices the same way). Our writer emits one slice per
+    container, so slice_offset/slice_size are exact."""
+    import gzip
+    crai_path = crai_path or cram_path + ".crai"
+    cr = CramReader(cram_path, fasta_path)
+    lines = []
+    for off in cr.container_offsets():
+        landmarks, _boff, block_bytes = _cont_geometry(cr._raw, off)
+        s_off = landmarks[0] if landmarks else 0
+        s_size = block_bytes - s_off
+        by_ref: Dict[int, list] = {}
+        for r in cr.container_records(off):
+            if r.tid < 0:
+                by_ref.setdefault(-1, [0, 0])
+                continue
+            e = r.endpos()
+            cur = by_ref.get(r.tid)
+            if cur is None:
+                by_ref[r.tid] = [r.pos, e]
+            else:
+                cur[0] = min(cur[0], r.pos)
+                cur[1] = max(cur[1], e)
+        for ref in sorted(by_ref):
+            lo, hi = by_ref[ref]
+            start1 = lo + 1 if ref >= 0 else 0
+            span = max(hi - lo, 0) if ref >= 0 else 0
+            lines.append(f"{ref}\t{start1}\t{span}\t{off}\t{s_off}\t{s_size}")
+    with gzip.open(crai_path, "wt") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+    return crai_path
+
+
 class CramReader:
     """Whole-file CRAM reader yielding io.bam.BamRecord objects.
 
@@ -779,6 +853,9 @@ class CramReader:
         self.tid_by_name = {n: i for i, n in enumerate(self.ref_names)}
         self._raw = raw
         self._data_off = off
+        self._path = path
+        self._crai = _UNSET
+        self._cont_cache: Dict[int, list] = {}
         self._fasta = None
         if fasta_path:
             from .fasta import IndexedFasta
@@ -824,93 +901,151 @@ class CramReader:
 
         return fetch
 
-    def records(self):
+    def container_offsets(self):
+        """File offsets of every data container (skips file header + EOF)."""
         raw = self._raw
         off = self._data_off
         n = len(raw)
-        from .bam_writer import encode_record
-        from .bam import _decode_record
-
+        out = []
         while off < n:
             if raw[off : off + 4] == b"\x0f\x00\x00\x00" and \
                raw[off : off + len(CRAM_EOF)] == CRAM_EOF:
                 break
-            # container header
+            out.append(off)
             (length,) = struct.unpack_from("<i", raw, off)
             hoff = off + 4
-            ref_id, hoff = read_itf8(raw, hoff)
-            start, hoff = read_itf8(raw, hoff)
-            _span, hoff = read_itf8(raw, hoff)
-            _n_rec, hoff = read_itf8(raw, hoff)
-            _counter, hoff = read_ltf8(raw, hoff)
-            _bases, hoff = read_ltf8(raw, hoff)
+            for _ in range(3):
+                _v, hoff = read_itf8(raw, hoff)
+            _v, hoff = read_itf8(raw, hoff)
+            _v, hoff = read_ltf8(raw, hoff)
+            _v, hoff = read_ltf8(raw, hoff)
             n_blocks, hoff = read_itf8(raw, hoff)
             n_land, hoff = read_itf8(raw, hoff)
             for _ in range(n_land):
                 _lm, hoff = read_itf8(raw, hoff)
             hoff += 4  # crc
-            boff = hoff  # container length counts block bytes; we walk by count
-            blocks = []
             for _ in range(n_blocks):
-                b, boff = read_block(raw, boff)
-                blocks.append(b)
-            off = boff
-            if not blocks:
-                continue
-            if blocks[0].content_type != CT_COMP_HEADER:
-                continue  # skip containers we don't understand
-            ch = CompressionHeader.parse(blocks[0].data)
-            bi = 1
-            while bi < len(blocks):
-                if blocks[bi].content_type != CT_SLICE_HEADER:
-                    bi += 1
-                    continue
-                sh = blocks[bi].data
-                soff = 0
-                s_ref, soff = read_itf8(sh, soff)
-                s_start, soff = read_itf8(sh, soff)
-                _s_span, soff = read_itf8(sh, soff)
-                s_nrec, soff = read_itf8(sh, soff)
-                _s_counter, soff = read_ltf8(sh, soff)
-                s_nblocks, soff = read_itf8(sh, soff)
-                n_ids, soff = read_itf8(sh, soff)
-                for _ in range(n_ids):
-                    _cid, soff = read_itf8(sh, soff)
-                emb_ref_id, soff = read_itf8(sh, soff)
+                _b, hoff = read_block(raw, hoff)
+            off = hoff
+        return out
+
+    def records(self):
+        for off in self.container_offsets():
+            yield from self.container_records(off)
+
+    def container_records(self, off):
+        """Decode all records of the single data container starting at `off`."""
+        raw = self._raw
+        from .bam_writer import encode_record
+        from .bam import _decode_record
+
+        # container header
+        (length,) = struct.unpack_from("<i", raw, off)
+        hoff = off + 4
+        ref_id, hoff = read_itf8(raw, hoff)
+        start, hoff = read_itf8(raw, hoff)
+        _span, hoff = read_itf8(raw, hoff)
+        _n_rec, hoff = read_itf8(raw, hoff)
+        _counter, hoff = read_ltf8(raw, hoff)
+        _bases, hoff = read_ltf8(raw, hoff)
+        n_blocks, hoff = read_itf8(raw, hoff)
+        n_land, hoff = read_itf8(raw, hoff)
+        for _ in range(n_land):
+            _lm, hoff = read_itf8(raw, hoff)
+        hoff += 4  # crc
+        boff = hoff  # container length counts block bytes; we walk by count
+        blocks = []
+        for _ in range(n_blocks):
+            b, boff = read_block(raw, boff)
+            blocks.append(b)
+        if not blocks:
+            return
+        if blocks[0].content_type != CT_COMP_HEADER:
+            return  # skip containers we don't understand
+        ch = CompressionHeader.parse(blocks[0].data)
+        bi = 1
+        while bi < len(blocks):
+            if blocks[bi].content_type != CT_SLICE_HEADER:
                 bi += 1
-                core = BitReader(b"")
-                ext: Dict[int, ExtStream] = {}
-                embedded: Dict[int, bytes] = {}
-                for k in range(s_nblocks):
-                    blk = blocks[bi + k]
-                    if blk.content_type == CT_CORE:
-                        core = BitReader(blk.data)
-                    elif blk.content_type == CT_EXTERNAL:
-                        if blk.content_id == emb_ref_id and emb_ref_id >= 0:
-                            embedded[s_ref] = blk.data
-                        ext[blk.content_id] = ExtStream(blk.data)
-                bi += s_nblocks
-                fetch = self._ref_fetch_fn(embedded, s_ref, s_start - 1)
-                recs = _decode_slice_records(
-                    ch, s_ref, s_start, s_nrec, core, ext, fetch)
-                for r in recs:
-                    tags = [(t, raw_v) for (t, typ, raw_v) in r.tags
-                            if typ == b"Z"]
-                    buf = encode_record(
-                        qname=r.name or b"*",
-                        flag=r.bf, tid=r.ri, pos=r.pos, mapq=r.mapq,
-                        cigar=r.cigar, seq=r.seq,
-                        qual=r.qual if len(r.qual) == len(r.seq) else None,
-                        tags=tags)
-                    yield _decode_record(buf[4:])
+                continue
+            sh = blocks[bi].data
+            soff = 0
+            s_ref, soff = read_itf8(sh, soff)
+            s_start, soff = read_itf8(sh, soff)
+            _s_span, soff = read_itf8(sh, soff)
+            s_nrec, soff = read_itf8(sh, soff)
+            _s_counter, soff = read_ltf8(sh, soff)
+            s_nblocks, soff = read_itf8(sh, soff)
+            n_ids, soff = read_itf8(sh, soff)
+            for _ in range(n_ids):
+                _cid, soff = read_itf8(sh, soff)
+            emb_ref_id, soff = read_itf8(sh, soff)
+            bi += 1
+            core = BitReader(b"")
+            ext: Dict[int, ExtStream] = {}
+            embedded: Dict[int, bytes] = {}
+            for k in range(s_nblocks):
+                blk = blocks[bi + k]
+                if blk.content_type == CT_CORE:
+                    core = BitReader(blk.data)
+                elif blk.content_type == CT_EXTERNAL:
+                    if blk.content_id == emb_ref_id and emb_ref_id >= 0:
+                        embedded[s_ref] = blk.data
+                    ext[blk.content_id] = ExtStream(blk.data)
+            bi += s_nblocks
+            fetch = self._ref_fetch_fn(embedded, s_ref, s_start - 1)
+            recs = _decode_slice_records(
+                ch, s_ref, s_start, s_nrec, core, ext, fetch)
+            for r in recs:
+                tags = [(t, raw_v) for (t, typ, raw_v) in r.tags
+                        if typ == b"Z"]
+                buf = encode_record(
+                    qname=r.name or b"*",
+                    flag=r.bf, tid=r.ri, pos=r.pos, mapq=r.mapq,
+                    cigar=r.cigar, seq=r.seq,
+                    qual=r.qual if len(r.qual) == len(r.seq) else None,
+                    tags=tags)
+                yield _decode_record(buf[4:])
+
+    def _load_crai(self):
+        """Parse `<path>.crai` once; None when absent or unparseable (the
+        reference only existence-checks the index, src/main.rs:530-535, so
+        an invalid index degrades to the linear scan rather than erroring)."""
+        if self._crai is not _UNSET:
+            return self._crai
+        self._crai = None
+        try:
+            entries = read_crai(self._path + ".crai")
+            offsets = set(self.container_offsets())
+            # sanity: every index entry must point at a real container
+            if entries and all(e[3] in offsets for e in entries):
+                self._crai = entries
+        except Exception:
+            self._crai = None
+        return self._crai
 
     def fetch(self, chrom: str, start: int, end: int):
+        """Region iteration. With a valid .crai, decodes only containers
+        whose index entries overlap [start, end) (decoded containers are
+        memoized across fetches); otherwise scans the whole file."""
         tid = self.tid_by_name.get(chrom)
         if tid is None:
             raise KeyError(f"chromosome {chrom} not in CRAM header")
-        for rec in self.records():
-            if rec.tid == tid and rec.pos < end and rec.endpos() > start:
-                yield rec
+        entries = self._load_crai()
+        if entries is None:
+            offs = self.container_offsets()
+        else:
+            offs = sorted({e[3] for e in entries
+                           if e[0] == tid and e[1] < end and
+                           e[1] + e[2] > start})
+        for off in offs:
+            recs = self._cont_cache.get(off)
+            if recs is None:
+                recs = list(self.container_records(off))
+                self._cont_cache[off] = recs
+            for rec in recs:
+                if rec.tid == tid and rec.pos < end and rec.endpos() > start:
+                    yield rec
 
 
 # ---------------------------------------------------------------------------
