@@ -146,3 +146,58 @@ def test_mixed_read_lengths(tmp_path):
         outs[host] = (canon(o), canon(tmp_path / f"r_{host}.mtx"))
     assert outs["python"] == outs["native"]
     assert outs["python"][0][0] == (cfg.n_variants, cfg.n_cells)
+
+
+def test_edge_variants_native_matches_python(tmp_path):
+    """Variants at chromosome start/end: clamped haplotype padding
+    (src/main.rs:978-980) through the FULL pipeline, both hosts."""
+    import numpy as np
+
+    from vartrix_tpu.io.bam_writer import encode_record, write_bam
+
+    rng = np.random.default_rng(5)
+    seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 400).tobytes())
+    fa = tmp_path / "g.fa"
+    fa.write_bytes(b">c\n" + seq + b"\n")
+    (tmp_path / "g.fa.fai").write_text(f"c\t400\t3\t400\t401\n")
+    # variants at pos 2 (left clamp), 200 (interior), 397 (right clamp)
+    vcf = tmp_path / "v.vcf"
+    alt0 = b"T" if seq[2:3] != b"T" else b"A"
+    alt1 = b"G" if seq[200:201] != b"G" else b"C"
+    alt2 = b"A" if seq[397:398] != b"A" else b"G"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        f"c\t3\t.\t{seq[2:3].decode()}\t{alt0.decode()}\t.\t.\t.\n"
+        f"c\t201\t.\t{seq[200:201].decode()}\t{alt1.decode()}\t.\t.\t.\n"
+        f"c\t398\t.\t{seq[397:398].decode()}\t{alt2.decode()}\t.\t.\t.\n")
+    bcs = [b"AAAC-1", b"GGGT-1"]
+    (tmp_path / "bc.tsv").write_bytes(b"\n".join(bcs) + b"\n")
+    recs = []
+    for i, (vpos, alt) in enumerate([(2, alt0), (200, alt1), (397, alt2)]):
+        lo = max(0, min(vpos - 40, 400 - 80))
+        for k in range(6):
+            start = max(0, lo + 5 * k)
+            r = bytearray(seq[start : start + 80])
+            carries_alt = k % 2 == 0
+            if carries_alt and start <= vpos < start + 80:
+                r[vpos - start] = alt[0]
+            recs.append(encode_record(
+                qname=f"r{i}_{k}".encode(), flag=0, tid=0, pos=start,
+                mapq=60, cigar=[(0, len(r))], seq=bytes(r),
+                tags=[(b"CB", bcs[k % 2]), (b"UB", f"U{i}{k}".encode())]))
+    recs.sort(key=lambda b: int.from_bytes(b[8:12], "little"))
+    bam = tmp_path / "e.bam"
+    write_bam(str(bam), [("c", 400)], recs)
+    outs = {}
+    for host in ("python", "native"):
+        out = tmp_path / f"edge_{host}.mtx"
+        _main(["-v", str(vcf), "-b", str(bam), "-f", str(fa),
+               "-c", str(tmp_path / "bc.tsv"), "-o", str(out),
+               "-s", "coverage", "--ref-matrix",
+               str(tmp_path / f"edge_r_{host}.mtx"),
+               "--backend", "cpu", "--host", host])
+        outs[host] = (canon(out), canon(tmp_path / f"edge_r_{host}.mtx"))
+    assert outs["python"] == outs["native"]
+    # the matrix must be non-trivial (edge variants actually genotyped)
+    shape, entries = outs["python"][0]
+    assert shape == (3, 2) and len(entries) > 0
