@@ -97,13 +97,13 @@ def _is_cram(path: str) -> bool:
         return f.read(4) == b"CRAM"
 
 
-def open_reads(path: str, fasta_path: str):
+def open_reads(path: str, fasta_path: str, header_only: bool = False):
     """BamReader for BAM inputs, CramReader (same record interface) for
     CRAM (detected by magic, like htslib)."""
     if _is_cram(path):
         from .io.cram import CramReader
         return CramReader(path, fasta_path)
-    return BamReader(path)
+    return BamReader(path, header_only=header_only)
 
 
 def write_variants(out_variants: str, vcf_file: str) -> None:
@@ -196,7 +196,19 @@ def _main(argv: List[str]) -> None:
     matrix = TriMat((num_vars, len(cell_barcodes)))
     ref_matrix = TriMat((num_vars, len(cell_barcodes)))
 
-    bam = open_reads(args.bam, args.fasta)
+    use_native = args.host in ("auto", "native") and _native_host_available()
+    if args.host == "native" and not use_native:
+        log.error("native host runtime requested but libgenomio unavailable")
+        sys.exit(1)
+    if args.log_level == "debug" and args.host == "auto":
+        # debug logging reports per-read alignments/qnames, which only the
+        # reference (Python) path carries; the reference tool's docs call
+        # debug logging "very slow" too (README.md:108-110)
+        use_native = False
+
+    # the native path decodes records via libgenomio: validation only needs
+    # the header, so skip inflating the record stream here
+    bam = open_reads(args.bam, args.fasta, header_only=use_native)
     fasta = IndexedFasta(args.fasta)
     validate_inputs(records, bam, fasta.index)
 
@@ -230,16 +242,6 @@ def _main(argv: List[str]) -> None:
 
     works = prepare_variants(records, fasta, pargs, row_range=row_range)
     score_fn = _select_backend(args.backend, args.threads)
-
-    use_native = args.host in ("auto", "native") and _native_host_available()
-    if args.host == "native" and not use_native:
-        log.error("native host runtime requested but libgenomio unavailable")
-        sys.exit(1)
-    if args.log_level == "debug" and args.host == "auto":
-        # debug logging reports per-read alignments/qnames, which only the
-        # reference (Python) path carries; the reference tool's docs call
-        # debug logging "very slow" too (README.md:108-110)
-        use_native = False
 
     if use_native:
         from .core import agg_numpy
@@ -313,18 +315,15 @@ def _main(argv: List[str]) -> None:
             vals = np.where((ref_c > 0) & (alt_c > 0), 3.0,
                             np.where(alt_c > 0, 2.0,
                                      np.where(ref_c > 0, 1.0, 0.0)))
-            for r, c, v in zip(g_rows, g_cols, vals):
-                if v > 0:
-                    matrix.add_triplet(int(r), int(c), float(v))
+            keep = vals > 0
+            matrix.add_triplets(g_rows[keep], g_cols[keep], vals[keep])
         elif args.scoring_method == "alt_frac":
             with np.errstate(invalid="ignore", divide="ignore"):
                 vals = alt_c / tot  # 0/0 -> NaN preserved
-            for r, c, v in zip(g_rows, g_cols, vals):
-                matrix.add_triplet(int(r), int(c), float(v))
+            matrix.add_triplets(g_rows, g_cols, vals)
         elif args.scoring_method == "coverage":
-            for r, c, av, rv in zip(g_rows, g_cols, alt_c, ref_c):
-                matrix.add_triplet(int(r), int(c), float(av))
-                ref_matrix.add_triplet(int(r), int(c), float(rv))
+            matrix.add_triplets(g_rows, g_cols, alt_c)
+            ref_matrix.add_triplets(g_rows, g_cols, ref_c)
         else:
             raise ValueError("Scoring method is invalid")
         if log.isEnabledFor(logging.INFO):

@@ -31,12 +31,17 @@ FLAG_DUP = 0x400
 FLAG_SUPPLEMENTARY = 0x800
 
 
-def bgzf_decompress(data: bytes) -> bytes:
-    """Inflate a whole BGZF byte-stream (series of gzip members)."""
+def bgzf_decompress(data: bytes, stop_after: int = 0) -> bytes:
+    """Inflate a BGZF byte-stream (series of gzip members). With
+    stop_after > 0, stop once at least that many decompressed bytes are
+    available (header-only reads skip inflating the record stream)."""
     out = []
+    got = 0
     pos = 0
     n = len(data)
     while pos < n:
+        if stop_after and got >= stop_after:
+            break
         if n - pos >= 28 and data[pos : pos + 4] == b"\x1f\x8b\x08\x04":
             xlen = struct.unpack_from("<H", data, pos + 10)[0]
             # scan extra subfields for BC (BGZF block size)
@@ -52,11 +57,13 @@ def bgzf_decompress(data: bytes) -> bytes:
                 raise ValueError("gzip member without BGZF BC subfield")
             cdata = data[xend : pos + bsize - 8]
             out.append(zlib.decompress(cdata, wbits=-15))
+            got += len(out[-1])
             pos += bsize
         else:
             # plain gzip fallback
             d = zlib.decompressobj(wbits=31)
             out.append(d.decompress(data[pos:]))
+            got += len(out[-1])
             rest = d.unused_data
             pos = n - len(rest)
             if not d.eof:
@@ -188,14 +195,41 @@ def _decode_record(buf: bytes) -> BamRecord:
 class BamReader:
     """Whole-file BAM reader (decompresses into memory)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, header_only: bool = False):
         with open(path, "rb") as f:
             raw = f.read()
         if raw[:4] == b"CRAM":
             raise NotImplementedError(
                 f"{path}: CRAM input is not supported yet (planned); "
                 "convert to BAM")
-        data = bgzf_decompress(raw)
+        if header_only:
+            # inflate only until the full header (magic + SAM text + ref
+            # list) is in hand: validation paths need names/lengths, not
+            # the record stream
+            need = 12
+            data = bgzf_decompress(raw, stop_after=need)
+            while len(data) >= 12:
+                l_text = struct.unpack_from("<i", data, 4)[0]
+                if len(data) >= 12 + l_text:
+                    n_ref = struct.unpack_from("<i", data, 8 + l_text)[0]
+                    end = 12 + l_text
+                    ok = True
+                    for _ in range(n_ref):
+                        if len(data) < end + 8:
+                            ok = False
+                            break
+                        l_name = struct.unpack_from("<i", data, end)[0]
+                        end += 8 + l_name
+                    if ok and len(data) >= end:
+                        break
+                if len(data) == need and need > len(raw) * 8:
+                    break  # malformed header: give up growing
+                need = max(need * 4, len(data) + 1)
+                data = bgzf_decompress(raw, stop_after=need)
+            self._header_only = True
+        else:
+            data = bgzf_decompress(raw)
+            self._header_only = False
         if data[:4] != b"BAM\x01":
             raise ValueError(f"{path}: not a BAM file")
         l_text = struct.unpack_from("<i", data, 4)[0]
@@ -216,6 +250,9 @@ class BamReader:
         self.tid_by_name = {n: i for i, n in enumerate(self.ref_names)}
 
     def records(self) -> Iterator[BamRecord]:
+        if self._header_only:
+            raise RuntimeError("BamReader opened header_only; records "
+                               "were not decompressed")
         data = self._data
         off = self._records_off
         n = len(data)

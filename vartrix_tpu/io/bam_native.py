@@ -156,8 +156,11 @@ class ColumnarBam:
     @staticmethod
     def _unique_map(off: np.ndarray, pool: np.ndarray, map_unique):
         """Vectorized variable-length-string mapping: group records by tag
-        length, gather fixed-width byte matrices, dedupe with np.unique,
-        and only touch Python for the (few) unique values.
+        length, gather fixed-width byte matrices, dedupe by a vectorized
+        64-bit FNV-style hash (1-D uint64 unique is ~10x cheaper than
+        numpy's row-lexicographic unique), verify representatives
+        byte-exactly (hash collisions fall back per-row, so the mapping is
+        exact regardless), and only touch Python for the unique values.
         map_unique(bytes) -> int; absent tags map to -1."""
         n = len(off) - 1
         out = np.full(n, -1, dtype=np.int64)
@@ -166,12 +169,21 @@ class ColumnarBam:
             if L == 0:
                 continue
             idx = np.nonzero(lens == L)[0]
-            gather = pool[np.add.outer(off[idx], np.arange(L, dtype=np.int64))]
-            uniq, inv = np.unique(gather, axis=0, return_inverse=True)
+            gather = pool[off[idx][:, None] + np.arange(L, dtype=off.dtype)]
+            h = np.zeros(len(idx), dtype=np.uint64)
+            mul = np.uint64(1099511628211)
+            for j in range(L):
+                h = h * mul + gather[:, j]
+            _, first, inv = np.unique(h, return_index=True,
+                                      return_inverse=True)
+            reps = gather[first]
+            collided = np.nonzero((reps[inv] != gather).any(axis=1))[0]
             vals = np.fromiter(
-                (map_unique(u.tobytes()) for u in uniq), dtype=np.int64,
-                count=len(uniq))
+                (map_unique(r.tobytes()) for r in reps), dtype=np.int64,
+                count=len(reps))
             out[idx] = vals[inv]
+            for k in collided:  # exactness: never trust the hash alone
+                out[idx[k]] = map_unique(gather[k].tobytes())
         return out
 
     def cb_indices(self, barcodes: dict) -> np.ndarray:

@@ -40,6 +40,23 @@ class TriMat:
         self.cols.append(col)
         self.data.append(float(value))
 
+    def add_triplets(self, rows, cols, values) -> None:
+        """Bulk insertion from array-likes (vectorized bounds check)."""
+        import numpy as np
+
+        r = np.asarray(rows, dtype=np.int64)
+        c = np.asarray(cols, dtype=np.int64)
+        v = np.asarray(values, dtype=np.float64)
+        if len(r) and ((r < 0).any() or (r >= self.shape[0]).any()
+                       or (c < 0).any() or (c >= self.shape[1]).any()):
+            bad = np.nonzero((r < 0) | (r >= self.shape[0]) | (c < 0)
+                             | (c >= self.shape[1]))[0][0]
+            raise IndexError(
+                f"triplet ({r[bad]},{c[bad]}) outside shape {self.shape}")
+        self.rows.extend(r.tolist())
+        self.cols.extend(c.tolist())
+        self.data.extend(v.tolist())
+
     def nnz(self) -> int:
         return len(self.data)
 
@@ -84,13 +101,32 @@ def _expand_exponent(v: float) -> str:
 
 
 def write_matrix_market(path: str, mat: TriMat) -> None:
+    import numpy as np
+
     lines = [
         "%%MatrixMarket matrix coordinate real general\n",
         "% written by sprs\n",
         f"{mat.shape[0]} {mat.shape[1]} {mat.nnz()}\n",
     ]
-    for r, c, v in zip(mat.rows, mat.cols, mat.data):
-        lines.append(f"{r + 1} {c + 1} {format_f64(v)}\n")
+    n = mat.nnz()
+    if n:
+        # vectorized value formatting: the integral/finite common case is
+        # C-level; format_f64 (same semantics) only runs on the rest
+        d = np.asarray(mat.data, dtype=np.float64)
+        int_mask = np.isfinite(d) & (np.abs(d) < 1e16) & (d == np.trunc(d))
+        vs = np.empty(n, dtype=object)
+        if int_mask.any():
+            vs[int_mask] = np.char.mod("%d", d[int_mask].astype(np.int64)) \
+                .astype(object)
+            negz = int_mask & (d == 0) & np.signbit(d)
+            if negz.any():
+                vs[negz] = "-0"  # Rust prints -0.0 as "-0"
+        rest = np.nonzero(~int_mask)[0]
+        for i in rest.tolist():
+            vs[i] = format_f64(float(d[i]))
+        r1 = (np.asarray(mat.rows, dtype=np.int64) + 1).tolist()
+        c1 = (np.asarray(mat.cols, dtype=np.int64) + 1).tolist()
+        lines.extend(f"{r} {c} {v}\n" for r, c, v in zip(r1, c1, vs.tolist()))
     with open(path, "wt") as f:
         f.writelines(lines)
 
