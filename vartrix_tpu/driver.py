@@ -11,6 +11,8 @@ from __future__ import annotations
 import logging
 import os
 import sys
+import time
+from contextlib import contextmanager
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -112,6 +114,17 @@ def write_variants(out_variants: str, vcf_file: str) -> None:
             f.write(f"{rec.chrom}_{rec.pos}\n")
 
 
+@contextmanager
+def _phase(name: str):
+    """Wall-clock a pipeline stage at info level (SURVEY.md §5.1: the
+    reference keeps symbols for perf profiling; we report stage timings)."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        log.info("Phase %-12s %.2fs", name, time.perf_counter() - t0)
+
+
 def _maybe_profile(profile_dir: Optional[str]):
     """jax.profiler trace context for the scoring phase (SURVEY.md §5.1:
     the reference's only profiling aid is release-build symbols; here we
@@ -208,9 +221,10 @@ def _main(argv: List[str]) -> None:
 
     # the native path decodes records via libgenomio: validation only needs
     # the header, so skip inflating the record stream here
-    bam = open_reads(args.bam, args.fasta, header_only=use_native)
-    fasta = IndexedFasta(args.fasta)
-    validate_inputs(records, bam, fasta.index)
+    with _phase("validate"):
+        bam = open_reads(args.bam, args.fasta, header_only=use_native)
+        fasta = IndexedFasta(args.fasta)
+        validate_inputs(records, bam, fasta.index)
 
     pargs = PipelineArgs(
         primary=args.primary_alignments,
@@ -240,7 +254,8 @@ def _main(argv: List[str]) -> None:
         log.info("Shard %d/%d computes variant rows [%d, %d)",
                  args.shard_index, args.num_shards, *row_range)
 
-    works = prepare_variants(records, fasta, pargs, row_range=row_range)
+    with _phase("haplotypes"):
+        works = prepare_variants(records, fasta, pargs, row_range=row_range)
     score_fn = _select_backend(args.backend, args.threads)
 
     if use_native:
@@ -258,10 +273,12 @@ def _main(argv: List[str]) -> None:
             tmp.close()
             transcode_to_bam(args.bam, tmp.name, args.fasta)
             bam_path = tmp.name
-        cbam = ColumnarBam(bam_path, pargs.bam_tag.encode(),
-                           n_threads=max(args.threads, 1))
-        read_idx, cells_l, umis_l = collect_reads_fast(
-            cbam, works, cell_barcodes, pargs)
+        with _phase("decode"):
+            cbam = ColumnarBam(bam_path, pargs.bam_tag.encode(),
+                               n_threads=max(args.threads, 1))
+        with _phase("collect"):
+            read_idx, cells_l, umis_l = collect_reads_fast(
+                cbam, works, cell_barcodes, pargs)
 
         ckpt = None
         if args.checkpoint_dir:
@@ -274,7 +291,7 @@ def _main(argv: List[str]) -> None:
                  "bam_tag": args.bam_tag, "valid_chars": args.valid_chars})
             ckpt = ScoreCheckpoint(args.checkpoint_dir, key)
 
-        with _maybe_profile(args.profile_dir):
+        with _phase("score"), _maybe_profile(args.profile_dir):
             if ckpt is not None:
                 cached = {}
                 todo = []
@@ -303,13 +320,14 @@ def _main(argv: List[str]) -> None:
         metrics = Metrics()
         for w in works:
             metrics.add(w.metrics)
-        if args.device_agg:
-            from .core.agg_device_driver import aggregate_on_device
-            g_rows, g_cols, ref_c, alt_c, unk_c = aggregate_on_device(
-                cells_l, umis_l, per_variant_scores, pargs.use_umi)
-        else:
-            g_rows, g_cols, ref_c, alt_c, unk_c = agg_numpy.aggregate_flat(
-                cells_l, umis_l, per_variant_scores, pargs.use_umi)
+        with _phase("aggregate"):
+            if args.device_agg:
+                from .core.agg_device_driver import aggregate_on_device
+                g_rows, g_cols, ref_c, alt_c, unk_c = aggregate_on_device(
+                    cells_l, umis_l, per_variant_scores, pargs.use_umi)
+            else:
+                g_rows, g_cols, ref_c, alt_c, unk_c = agg_numpy.aggregate_flat(
+                    cells_l, umis_l, per_variant_scores, pargs.use_umi)
         tot = (ref_c + alt_c + unk_c).astype(np.float64)
         if args.scoring_method == "consensus":
             vals = np.where((ref_c > 0) & (alt_c > 0), 3.0,
@@ -392,7 +410,8 @@ def _main(argv: List[str]) -> None:
 
     log_metrics(log, metrics)
 
-    write_matrix_market(args.out_matrix, matrix)
+    with _phase("write"):
+        write_matrix_market(args.out_matrix, matrix)
     log.debug("Wrote out matrix file")
 
     if args.scoring_method == "coverage":
