@@ -110,7 +110,8 @@ def bench_e2e(backend: str):
     from vartrix_tpu.utils.synth import SynthConfig, generate_dataset
 
     d = tempfile.mkdtemp()
-    cfg = SynthConfig(n_variants=64, n_cells=400, reads_per_variant=150, seed=7)
+    cfg = SynthConfig(n_variants=500, n_cells=2000, reads_per_variant=200,
+                      seed=7)
     info = generate_dataset(d, cfg)
     rps = 0.0
     for trial in ("cold", "warm"):

@@ -123,3 +123,40 @@ def test_pallas_v2_matches_oracle_random():
     for unroll in (2, 4):
         got = sw_scores_batch_tpu_v2(xs, ys, unroll=unroll)
         np.testing.assert_array_equal(got, expected)
+
+
+def test_pallas_v2_long_read_shapes():
+    """Long-read bucket geometry (ONT/PacBio-scale: 512bp reads vs 768bp
+    haplotypes) scores exactly — VMEM state at these shapes is ~5MB and
+    must stay within budget."""
+    from vartrix_tpu.ops.sw_pallas_v2 import sw_scores_batch_tpu_v2
+
+    rng = np.random.default_rng(17)
+    pairs = random_pairs(rng, 6, 512, 768)
+    xs, ys = pack(pairs, 512, 768)
+    expected = sw_scores_batch(xs, ys)
+    got = sw_scores_batch_tpu_v2(xs, ys)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_compact2_protocol_matches_plain():
+    """The fully-deduplicated device protocol (unique reads + unique haps +
+    index vectors) must equal the plain batch scorer."""
+    from vartrix_tpu.ops.sw_pallas_v2 import (sw_scores_batch_tpu_v2,
+                                              sw_scores_compact2_tpu)
+
+    rng = np.random.default_rng(23)
+    R, H, B, lx, ly = 20, 7, 300, 64, 96
+    x_mat = np.zeros((R, lx), np.uint8)
+    hap_mat = np.ones((H, ly), np.uint8)
+    for i in range(R):
+        L = int(rng.integers(30, lx + 1))
+        x_mat[i, :L] = rng.choice(list(b"ACGT"), L)
+    for j in range(H):
+        L = int(rng.integers(50, ly + 1))
+        hap_mat[j, :L] = rng.choice(list(b"ACGT"), L)
+    x_idx = rng.integers(0, R, B).astype(np.int32)
+    hap_idx = rng.integers(0, H, B).astype(np.int32)
+    got = sw_scores_compact2_tpu(x_mat, x_idx, hap_mat, hap_idx)
+    expected = sw_scores_batch_tpu_v2(x_mat[x_idx], hap_mat[hap_idx])
+    np.testing.assert_array_equal(got, expected)

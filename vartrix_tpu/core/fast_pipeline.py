@@ -253,7 +253,6 @@ def score_all_fast(
         sel = np.nonzero(keys == key)[0]
         lx = int(key >> 32)
         ly = int(key & 0xFFFFFFFF)
-        x = gather_reads(cbam, t_read[sel], lx)
         # haplotype matrix: unique (variant, which) in this bucket
         hkeys = t_var[sel].astype(np.int64) * 2 + t_which[sel]
         uniq, inv = np.unique(hkeys, return_inverse=True)
@@ -262,13 +261,34 @@ def score_all_fast(
             w = works[int(hk) // 2]
             hap = w.rref if int(hk) % 2 == 0 else w.alt_hap
             hap_mat[u, : len(hap)] = np.frombuffer(hap, np.uint8)
+        import os as _os
+        compact2 = getattr(score_batch_fn, "compact2", None)
+        if _os.environ.get("VARTRIX_COMPACT2", "0") != "1":
+            # default off: through the axon TPU relay the chunked per-pair
+            # protocol wins (uploads pipeline with compute, and the device
+            # row-gather of a large resident read matrix measured slower
+            # than re-shipping chunks). On direct-attached TPUs the
+            # deduplicated protocol halves read traffic — re-evaluate there.
+            compact2 = None
         compact = getattr(score_batch_fn, "compact", None)
-        if compact is not None:
+        if compact2 is not None:
+            # fully-deduplicated device protocol: unique reads AND unique
+            # haplotypes ship once; pair chunks carry only index vectors.
+            # Every read appears in a ref task and an alt task, so this
+            # halves read gather + transfer vs the per-pair protocol.
+            uniq_reads, r_inv = np.unique(t_read[sel], return_inverse=True)
+            x_mat = gather_reads(cbam, uniq_reads, lx)
+            scores_flat[sel] = np.asarray(
+                compact2(x_mat, r_inv.astype(np.int32), hap_mat,
+                         inv.astype(np.int32)), dtype=np.int32)
+        elif compact is not None:
             # compact device protocol: ship unique haps + indices, gather
             # and widen on device (minimizes host->device transfer)
+            x = gather_reads(cbam, t_read[sel], lx)
             scores_flat[sel] = np.asarray(
                 compact(x, hap_mat, inv.astype(np.int32)), dtype=np.int32)
         else:
+            x = gather_reads(cbam, t_read[sel], lx)
             y = hap_mat[inv]
             scores_flat[sel] = np.asarray(score_batch_fn(x, y), dtype=np.int32)
 

@@ -158,6 +158,59 @@ def _sw_compact(x_u8: jax.Array, hap_mat: jax.Array, hap_idx: jax.Array,
                          unroll=unroll)
 
 
+@functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
+def _sw_compact2(x_mat: jax.Array, x_idx: jax.Array, hap_mat: jax.Array,
+                 hap_idx: jax.Array, *, lx: int, ly: int, interpret: bool,
+                 unroll: int = 2) -> jax.Array:
+    """Fully-deduplicated compact entry: unique reads [R, lx] uint8 +
+    per-pair read index, unique haplotypes [H, ly] uint8 + per-pair hap
+    index. Both gathers run on device; with every read scored against a
+    ref and an alt haplotype, shipping unique reads halves the
+    host->device read traffic of _sw_compact."""
+    B = x_idx.shape[0]
+    pad_top = unroll - 1
+    x_t = x_mat[x_idx].astype(jnp.int32).T          # [lx, B]
+    y = hap_mat[hap_idx]                            # [B, ly] uint8
+    yrev = jnp.flip(y, axis=1).astype(jnp.int32).T  # [ly, B]
+    ybuf = jnp.full((pad_top + 2 * lx + ly, B), 1, jnp.int32)
+    ybuf = ybuf.at[pad_top + lx : pad_top + lx + ly].set(yrev)
+    return _sw_pallas_v2(x_t, ybuf, lx=lx, ly=ly, interpret=interpret,
+                         unroll=unroll)
+
+
+def sw_scores_compact2_tpu(x_mat: np.ndarray, x_idx: np.ndarray,
+                           hap_mat: np.ndarray, hap_idx: np.ndarray,
+                           unroll: int = 2) -> np.ndarray:
+    """x_mat uint8 [R, Lx] unique reads (pad 0), x_idx int32 [B],
+    hap_mat uint8 [H, Ly] (pad 1), hap_idx int32 [B] -> int32 [B].
+    x_mat/hap_mat are shipped to the device ONCE; pair chunks only carry
+    two int32 index vectors."""
+    B = len(x_idx)
+    lx = x_mat.shape[1]
+    ly = hap_mat.shape[1]
+    interpret = not _on_tpu()
+    x_dev = jnp.asarray(x_mat)
+    hap_dev = jnp.asarray(hap_mat)
+    out = np.empty(B, dtype=np.int32)
+    results, spans = [], []
+    start = 0
+    while start < B:
+        n = min(CHUNK, B - start)
+        bp = _quantized_batch(n)
+        xi = np.zeros(bp, dtype=np.int32)
+        xi[:n] = x_idx[start : start + n]
+        hi = np.zeros(bp, dtype=np.int32)
+        hi[:n] = hap_idx[start : start + n]
+        results.append(_sw_compact2(x_dev, jnp.asarray(xi), hap_dev,
+                                    jnp.asarray(hi), lx=lx, ly=ly,
+                                    interpret=interpret, unroll=unroll))
+        spans.append((start, n))
+        start += n
+    for r, (s, n) in zip(results, spans):
+        out[s : s + n] = np.asarray(r)[0, :n]
+    return out
+
+
 def sw_scores_compact_tpu(x: np.ndarray, hap_mat: np.ndarray,
                           hap_idx: np.ndarray, unroll: int = 2) -> np.ndarray:
     """x uint8 [B, Lx] (pad 0), hap_mat uint8 [H, Ly] (pad 1),
@@ -226,5 +279,6 @@ def sw_scores_batch_tpu_v2(x: np.ndarray, y: np.ndarray,
     return out
 
 
-# advertise the compact protocol to the batching layer
+# advertise the compact protocols to the batching layer
 sw_scores_batch_tpu_v2.compact = sw_scores_compact_tpu
+sw_scores_batch_tpu_v2.compact2 = sw_scores_compact2_tpu
