@@ -151,3 +151,18 @@ def test_device_umi_consensus_matches_host():
         np.ones(N, bool), len(ug_uniq), len(cell_uniq)))
     for k, cell in enumerate(cell_uniq):
         assert tuple(out[k]) == host[int(cell)], (cell, tuple(out[k]), host[int(cell)])
+
+
+def test_cli_mesh_devices_matches_golden(tmp_path):
+    """--mesh-devices: full pipeline with scoring sharded over the 8-device
+    virtual mesh must stay golden-equal (placement invariance at the CLI)."""
+    from vartrix_tpu.driver import _main
+    from vartrix_tpu.io.matrix_market import read_matrix_market
+
+    T = "/root/reference/test"
+    out = tmp_path / "mesh.mtx"
+    _main(["-v", f"{T}/test.vcf", "-b", f"{T}/test.bam", "-f", f"{T}/test.fa",
+           "-c", f"{T}/barcodes.tsv", "-o", str(out), "--host", "native",
+           "--mesh-devices", "-1"])
+    assert read_matrix_market(str(out)).to_canonical() == \
+        read_matrix_market(f"{T}/test_consensus.mtx").to_canonical()

@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Spill per-variant score blocks to this directory and "
                         "resume from them on a rerun (long-run fault tolerance; "
                         "the reference has no equivalent)")
+    p.add_argument("--mesh-devices", dest="mesh_devices", type=int, default=0,
+                   metavar="N",
+                   help="Shard scoring batches across N local accelerator "
+                        "devices on a 1-D jax mesh (0 = single device; -1 = "
+                        "all local devices). Output is placement-invariant")
     p.add_argument("--device-agg", dest="device_agg", action="store_true",
                    help="Run the call + (variant,cell) scatter-add aggregation "
                         "(incl. UMI-group consensus) on the accelerator instead "

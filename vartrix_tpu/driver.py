@@ -187,6 +187,14 @@ def _select_backend(name: str, n_threads: int = 1):
 
 def _main(argv: List[str]) -> None:
     """Full run. argv excludes the program name (pass sys.argv[1:])."""
+    plat = os.environ.get("VARTRIX_JAX_PLATFORMS")
+    if plat:
+        # explicit platform override: some TPU launch environments force
+        # JAX_PLATFORMS in sitecustomize, so the plain env var can't
+        # select e.g. a virtual CPU mesh; the config API wins over both
+        import jax
+        jax.config.update("jax_platforms", plat)
+
     args = build_parser().parse_args(argv)
 
     level = {"info": logging.INFO, "debug": logging.DEBUG, "error": logging.ERROR}[args.log_level]
@@ -256,7 +264,14 @@ def _main(argv: List[str]) -> None:
 
     with _phase("haplotypes"):
         works = prepare_variants(records, fasta, pargs, row_range=row_range)
-    score_fn = _select_backend(args.backend, args.threads)
+    if args.mesh_devices:
+        from .ops.sw_pallas_v2 import make_mesh_scorer
+        n = args.mesh_devices if args.mesh_devices > 0 else 0
+        score_fn = make_mesh_scorer(n)
+        log.info("Mesh scoring across %d local devices",
+                 len(score_fn.mesh.devices))
+    else:
+        score_fn = _select_backend(args.backend, args.threads)
 
     if use_native:
         from .core import agg_numpy

@@ -282,3 +282,69 @@ def sw_scores_batch_tpu_v2(x: np.ndarray, y: np.ndarray,
 # advertise the compact protocols to the batching layer
 sw_scores_batch_tpu_v2.compact = sw_scores_compact_tpu
 sw_scores_batch_tpu_v2.compact2 = sw_scores_compact2_tpu
+
+
+def make_mesh_scorer(n_devices: int = 0, unroll: int = 2):
+    """Score-batch function sharded over a 1-D device mesh: each device
+    runs the Pallas wavefront kernel on its slice of the pair batch
+    (shard_map over the batch axis; no collectives needed — scores are
+    per-pair). This is the multi-chip single-host scaling path for the
+    CLI (--mesh-devices); exactness is placement-invariant.
+
+    Returns a function with the same contract as sw_scores_batch_tpu_v2,
+    including the .compact protocol."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    devs = jax.devices()
+    if n_devices > 0:
+        devs = devs[:n_devices]
+    n = len(devs)
+    mesh = Mesh(np.array(devs), ("shard",))
+    interpret = not _on_tpu()
+
+    @functools.partial(jax.jit, static_argnames=("lx", "ly"))
+    def _sharded(x_u8, hap_mat, hap_idx, *, lx, ly):
+        def local(x_c, haps, idx_c):
+            return _sw_compact(x_c, haps, idx_c, lx=lx, ly=ly,
+                               interpret=interpret, unroll=unroll)
+
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(P("shard"), P(), P("shard")),
+                       out_specs=P(None, "shard"), check_rep=False)
+        return fn(x_u8, hap_mat, hap_idx)
+
+    def scorer(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        # plain entry: treat each pair's haplotype as unique
+        B = x.shape[0]
+        idx = np.arange(B, dtype=np.int32)
+        return scorer.compact(x, y, idx)
+
+    def compact(x: np.ndarray, hap_mat: np.ndarray,
+                hap_idx: np.ndarray) -> np.ndarray:
+        B, lx = x.shape
+        ly = hap_mat.shape[1]
+        hap_dev = jnp.asarray(hap_mat)
+        out = np.empty(B, dtype=np.int32)
+        results, spans = [], []
+        start = 0
+        while start < B:
+            cn = min(CHUNK, B - start)
+            # batch must split evenly into per-device multiples of LANES
+            q = n * LANES
+            bp = ((max(_quantized_batch(cn), q) + q - 1) // q) * q
+            xc = np.zeros((bp, lx), dtype=np.uint8)
+            xc[:cn] = x[start : start + cn]
+            ic = np.zeros(bp, dtype=np.int32)
+            ic[:cn] = hap_idx[start : start + cn]
+            results.append(_sharded(jnp.asarray(xc), hap_dev,
+                                    jnp.asarray(ic), lx=lx, ly=ly))
+            spans.append((start, cn))
+            start += cn
+        for r, (s, cn) in zip(results, spans):
+            out[s : s + cn] = np.asarray(r)[0, :cn]
+        return out
+
+    scorer.compact = compact
+    scorer.mesh = mesh
+    return scorer
