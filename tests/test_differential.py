@@ -201,3 +201,44 @@ def test_edge_variants_native_matches_python(tmp_path):
     # the matrix must be non-trivial (edge variants actually genotyped)
     shape, entries = outs["python"][0]
     assert shape == (3, 2) and len(entries) > 0
+
+
+def test_custom_bam_tag_matches_cb(tmp_path):
+    """--bam-tag: cell barcodes read from a non-default tag (reference
+    src/main.rs:97-101,737-750) must produce the same matrix as the CB run,
+    on both hosts."""
+    from vartrix_tpu.io.bam import BamReader
+    from vartrix_tpu.io.bam_writer import encode_record, write_bam
+
+    cfg = SynthConfig(n_variants=12, n_cells=30, reads_per_variant=40, seed=31)
+    info = generate_dataset(str(tmp_path / "d"), cfg)
+    # rewrite the BAM with CB renamed to XC
+    src = BamReader(info["bam"])
+    recs = []
+    for r in src.records():
+        tags = []
+        cb = r.aux_string(b"CB")
+        ub = r.aux_string(b"UB")
+        if cb is not None:
+            tags.append((b"XC", cb))
+        if ub is not None:
+            tags.append((b"UB", ub))
+        recs.append(encode_record(
+            qname=r.qname, flag=r.flag, tid=r.tid, pos=r.pos, mapq=r.mapq,
+            cigar=r.cigar, seq=r.seq_bytes(), tags=tags))
+    xc_bam = tmp_path / "xc.bam"
+    write_bam(str(xc_bam), list(zip(src.ref_names, src.ref_lens)), recs)
+
+    outs = {}
+    for host in ("python", "native"):
+        base = tmp_path / f"cb_{host}.mtx"
+        _main(["-v", info["vcf"], "-b", info["bam"], "-f", info["fasta"],
+               "-c", info["barcodes"], "-o", str(base), "--umi",
+               "--backend", "cpu", "--host", host])
+        alt = tmp_path / f"xc_{host}.mtx"
+        _main(["-v", info["vcf"], "-b", str(xc_bam), "-f", info["fasta"],
+               "-c", info["barcodes"], "-o", str(alt), "--umi",
+               "--bam-tag", "XC", "--backend", "cpu", "--host", host])
+        outs[host] = (canon(base), canon(alt))
+        assert outs[host][0] == outs[host][1], host
+    assert outs["python"] == outs["native"]
