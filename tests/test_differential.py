@@ -242,3 +242,73 @@ def test_custom_bam_tag_matches_cb(tmp_path):
         outs[host] = (canon(base), canon(alt))
         assert outs[host][0] == outs[host][1], host
     assert outs["python"] == outs["native"]
+
+
+def test_record_skip_semantics_full_pipeline(tmp_path, caplog):
+    """Multi-allelic, symbolic/invalid-char ALTs: rows stay in the matrix
+    dims but get no entries; metrics count them; hosts agree
+    (src/main.rs:646-653,675-684)."""
+    import numpy as np
+
+    from vartrix_tpu.io.bam_writer import encode_record, write_bam
+
+    rng = np.random.default_rng(77)
+    seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 600).tobytes())
+    (tmp_path / "g.fa").write_bytes(b">c\n" + seq + b"\n")
+    (tmp_path / "g.fa.fai").write_text("c\t600\t3\t600\t601\n")
+    ref_at = lambda p: seq[p:p+1].decode()
+    vcf = tmp_path / "v.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        f"c\t101\t.\t{ref_at(100)}\tT\t.\t.\t.\n"          # normal (or tie)
+        f"c\t201\t.\t{ref_at(200)}\tA,G\t.\t.\t.\n"        # multi-allelic -> skip
+        f"c\t301\t.\t{ref_at(300)}\t<DEL>\t.\t.\t.\n"      # symbolic -> invalid chars
+        f"c\t401\t.\t{ref_at(400)}\tg\t.\t.\t.\n"          # lowercase alt: allowed
+        f"c\t501\t.\t{ref_at(500)}\tN\t.\t.\t.\n")         # N -> invalid chars
+    (tmp_path / "bc.tsv").write_bytes(b"AAAC-1\n")
+    recs = []
+    for i, vpos in enumerate([100, 200, 300, 400, 500]):
+        for k in range(4):
+            start = vpos - 40 + 3 * k
+            r = bytearray(seq[start:start + 80])
+            if k % 2 == 0:
+                r[vpos - start] = b"T"[0] if i == 0 else b"G"[0]
+            recs.append(encode_record(
+                qname=f"q{i}_{k}".encode(), flag=0, tid=0, pos=start, mapq=60,
+                cigar=[(0, 80)], seq=bytes(r),
+                tags=[(b"CB", b"AAAC-1"), (b"UB", f"U{i}{k}".encode())]))
+    bam = tmp_path / "s.bam"
+    write_bam(str(bam), [("c", 600)], recs)
+
+    outs = {}
+    for host in ("python", "native"):
+        o = tmp_path / f"sk_{host}.mtx"
+        _main(["-v", str(vcf), "-b", str(bam), "-f", str(tmp_path / "g.fa"),
+               "-c", str(tmp_path / "bc.tsv"), "-o", str(o),
+               "-s", "coverage", "--ref-matrix",
+               str(tmp_path / f"skr_{host}.mtx"),
+               "--backend", "cpu", "--host", host])
+        outs[host] = (canon(o), canon(tmp_path / f"skr_{host}.mtx"))
+    assert outs["python"] == outs["native"]
+    shape, entries = outs["python"][0]
+    assert shape == (5, 1)  # skipped rows still count in dims
+    rows_with_entries = {r for (r, c), v in entries}
+    assert rows_with_entries <= {0, 3}   # only the valid records genotyped
+    assert 1 not in rows_with_entries    # multi-allelic left empty
+    assert 2 not in rows_with_entries    # symbolic ALT left empty
+    assert 4 not in rows_with_entries    # N ALT left empty
+
+
+def test_zero_variant_vcf_writes_empty_matrix(tmp_path):
+    """A header-only VCF still produces a valid (0 x n_cells) matrix
+    (src/main.rs:190-192 equivalent warning path)."""
+    T = "/root/reference/test"
+    vcf = tmp_path / "empty.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+    o = tmp_path / "z.mtx"
+    _main(["-v", str(vcf), "-b", f"{T}/test.bam", "-f", f"{T}/test.fa",
+           "-c", f"{T}/barcodes.tsv", "-o", str(o),
+           "--backend", "cpu", "--host", "native"])
+    shape, entries = canon(o)
+    assert shape == (0, 20) and entries == []
