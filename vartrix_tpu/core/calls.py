@@ -98,12 +98,13 @@ def parse_scores(scores: List[Scores], umi: bool) -> List[Tuple[int, List[int]]]
             collapsed: List[int] = []
             for _u, calls in per_umi.items():
                 c = convert_to_counts(calls)
-                log.debug(
-                    "cell_index %d / UMI %s saw counts ref: %d alt: %d "
-                    "unk: %d", cell,
-                    _u.decode(errors="replace") if isinstance(_u, bytes)
-                    else _u,
-                    c.ref_count, c.alt_count, c.unk_count)
+                if log.isEnabledFor(logging.DEBUG):
+                    log.debug(
+                        "cell_index %d / UMI %s saw counts ref: %d alt: %d "
+                        "unk: %d", cell,
+                        _u.decode(errors="replace") if isinstance(_u, bytes)
+                        else _u,
+                        c.ref_count, c.alt_count, c.unk_count)
                 tot = float(c.ref_count + c.alt_count + c.unk_count)
                 ref_frac = c.ref_count / tot
                 alt_frac_v = c.alt_count / tot

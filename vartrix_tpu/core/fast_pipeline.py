@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Tuple
 
+import os
+
 import numpy as np
 
 from ..io.bam_native import ColumnarBam
@@ -248,6 +250,7 @@ def score_all_fast(
     qly = np.maximum(ly_quantum, -(-hap_lens // ly_quantum) * ly_quantum)
 
     scores_flat = np.zeros(n_tasks, dtype=np.int32)
+    use_compact2 = os.environ.get("VARTRIX_COMPACT2", "0") == "1"
     keys = qlx * (1 << 32) + qly
     for key in np.unique(keys):
         sel = np.nonzero(keys == key)[0]
@@ -261,9 +264,8 @@ def score_all_fast(
             w = works[int(hk) // 2]
             hap = w.rref if int(hk) % 2 == 0 else w.alt_hap
             hap_mat[u, : len(hap)] = np.frombuffer(hap, np.uint8)
-        import os as _os
         compact2 = getattr(score_batch_fn, "compact2", None)
-        if _os.environ.get("VARTRIX_COMPACT2", "0") != "1":
+        if not use_compact2:
             # default off: through the axon TPU relay the chunked per-pair
             # protocol wins (uploads pipeline with compute, and the device
             # row-gather of a large resident read matrix measured slower

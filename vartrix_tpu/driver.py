@@ -266,6 +266,9 @@ def _main(argv: List[str]) -> None:
         works = prepare_variants(records, fasta, pargs, row_range=row_range)
     if args.mesh_devices:
         from .ops.sw_pallas_v2 import make_mesh_scorer
+        if args.backend not in ("auto", "tpu"):
+            log.error("--mesh-devices uses the Pallas mesh scorer; "
+                      "ignoring --backend %s", args.backend)
         n = args.mesh_devices if args.mesh_devices > 0 else 0
         score_fn = make_mesh_scorer(n)
         log.info("Mesh scoring across %d local devices",

@@ -210,11 +210,11 @@ class BamReader:
             data = bgzf_decompress(raw, stop_after=need)
             while len(data) >= 12:
                 l_text = struct.unpack_from("<i", data, 4)[0]
-                if len(data) >= 12 + l_text:
+                if l_text >= 0 and len(data) >= 12 + l_text:
                     n_ref = struct.unpack_from("<i", data, 8 + l_text)[0]
                     end = 12 + l_text
-                    ok = True
-                    for _ in range(n_ref):
+                    ok = n_ref >= 0
+                    for _ in range(max(n_ref, 0)):
                         if len(data) < end + 8:
                             ok = False
                             break
@@ -222,10 +222,12 @@ class BamReader:
                         end += 8 + l_name
                     if ok and len(data) >= end:
                         break
-                if len(data) == need and need > len(raw) * 8:
-                    break  # malformed header: give up growing
                 need = max(need * 4, len(data) + 1)
-                data = bgzf_decompress(raw, stop_after=need)
+                grown = bgzf_decompress(raw, stop_after=need)
+                if len(grown) <= len(data):
+                    break  # whole file inflated, header never parsed:
+                           # fall through to the magic check below
+                data = grown
             self._header_only = True
         else:
             data = bgzf_decompress(raw)

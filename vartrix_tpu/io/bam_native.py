@@ -178,12 +178,23 @@ class ColumnarBam:
                                       return_inverse=True)
             reps = gather[first]
             collided = np.nonzero((reps[inv] != gather).any(axis=1))[0]
+            # memoized by bytes so map_unique (which may be a stateful
+            # id-assigner, e.g. ub_ids' counter) is called at most once
+            # per distinct value even across collision fallbacks
+            memo: dict = {}
+
+            def mapped(b: bytes) -> int:
+                v = memo.get(b)
+                if v is None:
+                    v = memo[b] = map_unique(b)
+                return v
+
             vals = np.fromiter(
-                (map_unique(r.tobytes()) for r in reps), dtype=np.int64,
+                (mapped(r.tobytes()) for r in reps), dtype=np.int64,
                 count=len(reps))
             out[idx] = vals[inv]
             for k in collided:  # exactness: never trust the hash alone
-                out[idx[k]] = map_unique(gather[k].tobytes())
+                out[idx[k]] = mapped(gather[k].tobytes())
         return out
 
     def cb_indices(self, barcodes: dict) -> np.ndarray:

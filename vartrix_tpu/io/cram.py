@@ -279,6 +279,15 @@ def read_block(buf: bytes, off: int) -> Tuple[Block, int]:
     return Block(method, ctype, cid, data), off
 
 
+def skip_block(buf: bytes, off: int) -> int:
+    """Advance past a block without decompressing its payload."""
+    off += 2  # method, content type
+    _cid, off = read_itf8(buf, off)
+    csize, off = read_itf8(buf, off)
+    _rsize, off = read_itf8(buf, off)
+    return off + csize + 4  # payload + crc32
+
+
 def write_block(b: Block, compress: bool = True) -> bytes:
     raw = b.data
     if compress and len(raw) > 32:
@@ -781,7 +790,11 @@ def write_crai(cram_path: str, crai_path: Optional[str] = None,
     """Build a .crai for a CRAM file by decoding it (one index line per
     (container, reference) with the min-start/span of its records; htslib
     expands multi-ref slices the same way). Our writer emits one slice per
-    container, so slice_offset/slice_size are exact."""
+    container, so slice_offset/slice_size are exact for files we wrote.
+    LIMITATION: for a foreign multi-slice container every entry carries the
+    FIRST slice's offset/size (our own fetch only consults the container
+    offset, column 4, so region queries stay correct; htslib seeking by
+    slice columns would not)."""
     import gzip
     crai_path = crai_path or cram_path + ".crai"
     cr = CramReader(cram_path, fasta_path)
@@ -855,7 +868,8 @@ class CramReader:
         self._data_off = off
         self._path = path
         self._crai = _UNSET
-        self._cont_cache: Dict[int, list] = {}
+        self._offsets = None
+        self._cont_cache: Dict[int, list] = {}  # LRU, capped (see fetch)
         self._fasta = None
         if fasta_path:
             from .fasta import IndexedFasta
@@ -902,7 +916,11 @@ class CramReader:
         return fetch
 
     def container_offsets(self):
-        """File offsets of every data container (skips file header + EOF)."""
+        """File offsets of every data container (skips file header + EOF).
+        Blocks are skipped structurally (no decompression); the walk is
+        computed once and cached."""
+        if self._offsets is not None:
+            return self._offsets
         raw = self._raw
         off = self._data_off
         n = len(raw)
@@ -925,8 +943,9 @@ class CramReader:
                 _lm, hoff = read_itf8(raw, hoff)
             hoff += 4  # crc
             for _ in range(n_blocks):
-                _b, hoff = read_block(raw, hoff)
+                hoff = skip_block(raw, hoff)
             off = hoff
+        self._offsets = out
         return out
 
     def records(self):
@@ -1042,6 +1061,14 @@ class CramReader:
             recs = self._cont_cache.get(off)
             if recs is None:
                 recs = list(self.container_records(off))
+                # bounded LRU: fetches walk loci in coordinate order, so a
+                # handful of recent containers covers the reuse without
+                # pinning the whole file's decoded records in memory
+                if len(self._cont_cache) >= 8:
+                    self._cont_cache.pop(next(iter(self._cont_cache)))
+                self._cont_cache[off] = recs
+            else:  # refresh recency
+                self._cont_cache.pop(off)
                 self._cont_cache[off] = recs
             for rec in recs:
                 if rec.tid == tid and rec.pos < end and rec.endpos() > start:

@@ -47,6 +47,9 @@ class TriMat:
         r = np.asarray(rows, dtype=np.int64)
         c = np.asarray(cols, dtype=np.int64)
         v = np.asarray(values, dtype=np.float64)
+        if not (len(r) == len(c) == len(v)):
+            raise ValueError(
+                f"triplet arrays disagree: {len(r)}/{len(c)}/{len(v)}")
         if len(r) and ((r < 0).any() or (r >= self.shape[0]).any()
                        or (c < 0).any() or (c >= self.shape[1]).any()):
             bad = np.nonzero((r < 0) | (r >= self.shape[0]) | (c < 0)

@@ -315,10 +315,18 @@ def make_mesh_scorer(n_devices: int = 0, unroll: int = 2):
         return fn(x_u8, hap_mat, hap_idx)
 
     def scorer(x: np.ndarray, y: np.ndarray) -> np.ndarray:
-        # plain entry: treat each pair's haplotype as unique
+        # plain entry: chunk so the replicated per-chunk hap matrix stays
+        # bounded (<= CHUNK x ly per device) and compiled shapes are
+        # workload-independent, like the non-mesh path
         B = x.shape[0]
-        idx = np.arange(B, dtype=np.int32)
-        return scorer.compact(x, y, idx)
+        out = np.empty(B, dtype=np.int32)
+        for s in range(0, max(B, 1), CHUNK):
+            cn = min(CHUNK, B - s)
+            if cn <= 0:
+                break
+            idx = np.arange(cn, dtype=np.int32)
+            out[s : s + cn] = compact(x[s : s + cn], y[s : s + cn], idx)
+        return out
 
     def compact(x: np.ndarray, hap_mat: np.ndarray,
                 hap_idx: np.ndarray) -> np.ndarray:
