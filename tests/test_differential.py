@@ -312,3 +312,65 @@ def test_zero_variant_vcf_writes_empty_matrix(tmp_path):
            "--backend", "cpu", "--host", "native"])
     shape, entries = canon(o)
     assert shape == (0, 20) and entries == []
+
+
+def test_scdna_variant_set_differential(tmp_path):
+    """The bundled scDNA VCF (46 GIAB-style records: SNVs, indels to 15bp,
+    the adjacent del/ins pair at 49514/49515) against its real FASTA, with
+    a synthesized BAM (the reference's test_dna.bam is absent from this
+    mount): both hosts and both scoring paths must agree, and indel rows
+    must be genotyped."""
+    import numpy as np
+
+    from vartrix_tpu.io.bam_writer import encode_record, write_bam
+    from vartrix_tpu.io.fasta import IndexedFasta
+    from vartrix_tpu.io.vcf import read_vcf_records
+
+    T = "/root/reference/test"
+    recs = read_vcf_records(f"{T}/test_dna.vcf")
+    assert len(recs) == 46
+    fa = IndexedFasta(f"{T}/test_dna.fa")
+    rng = np.random.default_rng(101)
+    bcs = [l.strip() for l in open(f"{T}/dna_barcodes.tsv", "rb")][:50]
+    reads = []
+    for vi, rec in enumerate(recs):
+        pos0 = rec.pos  # 0-based in our parser? (reference uses rec.pos())
+        ref_len = len(rec.ref)
+        alt = rec.alts[0] if rec.alts else b""
+        for k in range(8):
+            start = max(0, pos0 - 100 + 12 * k)
+            hap = bytearray(fa.fetch("1", start, start + 170).upper())
+            off = pos0 - start
+            carries_alt = k % 2 == 0
+            if carries_alt and 0 <= off and off + ref_len <= len(hap):
+                hap[off : off + ref_len] = alt.upper()
+            seq = bytes(hap[:150])
+            if len(seq) < 50 or seq.count(b"N") > 10:
+                continue
+            reads.append(encode_record(
+                qname=f"d{vi}_{k}".encode(), flag=0, tid=0, pos=start,
+                mapq=60, cigar=[(0, len(seq))], seq=seq,
+                tags=[(b"CB", bcs[(vi * 8 + k) % len(bcs)]),
+                      (b"UB", f"U{vi}_{k}".encode())]))
+    reads.sort(key=lambda b: int.from_bytes(b[8:12], "little"))
+    bam = tmp_path / "dna.bam"
+    write_bam(str(bam), [("1", fa.chrom_len("1"))], reads)
+    (tmp_path / "bc.tsv").write_bytes(b"\n".join(bcs) + b"\n")
+
+    outs = {}
+    for host in ("python", "native"):
+        o = tmp_path / f"dna_{host}.mtx"
+        r = tmp_path / f"dnar_{host}.mtx"
+        _main(["-v", f"{T}/test_dna.vcf", "-b", str(bam),
+               "-f", f"{T}/test_dna.fa", "-c", str(tmp_path / "bc.tsv"),
+               "-o", str(o), "-s", "coverage", "--ref-matrix", str(r),
+               "--umi", "--backend", "cpu", "--host", host])
+        outs[host] = (canon(o), canon(r))
+    assert outs["python"] == outs["native"]
+    shape, entries = outs["python"][0]
+    assert shape == (46, 50)
+    rows_hit = {rc[0] for rc, v in entries}
+    indel_rows = {i for i, rec in enumerate(recs)
+                  if rec.alts and len(rec.ref) != len(rec.alts[0])}
+    assert rows_hit & indel_rows, "no indel row genotyped"
+    assert len(rows_hit) > 30
