@@ -135,6 +135,8 @@ def write_matrix_market(path: str, mat: TriMat) -> None:
 
 
 def read_matrix_market(path: str) -> TriMat:
+    import numpy as np
+
     with open(path, "rt") as f:
         header = f.readline()
         if "coordinate" not in header:
@@ -144,7 +146,13 @@ def read_matrix_market(path: str) -> TriMat:
             line = f.readline()
         rows, cols, nnz = (int(x) for x in line.split())
         mat = TriMat((rows, cols))
-        for _ in range(nnz):
-            parts = f.readline().split()
-            mat.add_triplet(int(parts[0]) - 1, int(parts[1]) - 1, float(parts[2]))
+        if nnz:
+            body = np.loadtxt(f, dtype=np.float64, max_rows=nnz, ndmin=2)
+            if body.shape != (nnz, 3):
+                raise ValueError(
+                    f"{path}: expected {nnz} 'row col value' lines, got "
+                    f"shape {body.shape}")
+            mat.add_triplets(body[:, 0].astype(np.int64) - 1,
+                             body[:, 1].astype(np.int64) - 1,
+                             body[:, 2])
         return mat
