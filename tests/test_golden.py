@@ -107,8 +107,6 @@ def test_out_variants(tmp_path):
 
 def test_profile_dir_writes_trace(tmp_path):
     """--profile-dir: a jax.profiler trace must land on disk (SURVEY §5.1)."""
-    import os
-
     prof = tmp_path / "trace"
     _main(base_argv(tmp_path, "cpu") + ["--profile-dir", str(prof)])
     files = [os.path.join(dp, f) for dp, _, fs in os.walk(prof) for f in fs]

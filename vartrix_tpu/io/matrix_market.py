@@ -152,6 +152,9 @@ def read_matrix_market(path: str) -> TriMat:
                 raise ValueError(
                     f"{path}: expected {nnz} 'row col value' lines, got "
                     f"shape {body.shape}")
+            idx = body[:, :2]
+            if (idx != np.trunc(idx)).any() or not np.isfinite(idx).all():
+                raise ValueError(f"{path}: non-integer matrix indices")
             mat.add_triplets(body[:, 0].astype(np.int64) - 1,
                              body[:, 1].astype(np.int64) - 1,
                              body[:, 2])
