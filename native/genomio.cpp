@@ -22,6 +22,8 @@
 #include <zlib.h>
 
 #include <atomic>
+#include <charconv>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
@@ -381,6 +383,214 @@ void gio_gather_padded(const uint8_t* pool, const int64_t* seq_off,
       if (len < lx) memset(dst + len, 0, (size_t)(lx - len));
     }
   });
+}
+
+// ---- Matrix Market body formatting / parsing ----------------------------
+//
+// The reference writes matrices through sprs' write_matrix_market
+// (/root/reference/src/main.rs:381-389): one "row col value" line per
+// triplet, f64 values in Rust `Display` semantics (shortest round-trip,
+// positional notation, integral values bare, NaN as "NaN").
+// std::to_chars with chars_format::fixed produces exactly that shortest
+// positional form; integral values take the integer fast path. Lines are
+// formatted/parsed in parallel chunks — this is the scalability story for
+// cohort-scale (100M-nnz) matrices that a Python formatter can't provide.
+
+struct GioBuf {
+  std::vector<char> data;
+};
+
+namespace {
+
+// Rust f64 `Display`: shortest round-trip digits, always positional.
+// std::to_chars (general) yields the shortest digits but may pick
+// scientific notation; expand the exponent positionally when it does —
+// NOT chars_format::fixed, which prints the value's exact expansion
+// (all 309 digits of f64::MAX) instead of shortest-digits-plus-zeros.
+inline char* format_value(double v, char* p) {
+  if (std::isnan(v)) { memcpy(p, "NaN", 3); return p + 3; }
+  if (std::isinf(v)) {
+    if (v < 0) { memcpy(p, "-inf", 4); return p + 4; }
+    memcpy(p, "inf", 3); return p + 3;
+  }
+  if (v == (double)(int64_t)v && std::fabs(v) < 1e16) {
+    int64_t iv = (int64_t)v;
+    if (iv == 0 && std::signbit(v)) { memcpy(p, "-0", 2); return p + 2; }
+    return std::to_chars(p, p + 24, iv).ptr;
+  }
+  // scientific-shortest gives minimal round-trip significand digits;
+  // placement is re-derived positionally. libstdc++'s Ryu can emit one
+  // conservative extra digit at round-half-even tie boundaries where
+  // Python repr / Rust Display emit the shorter correctly-rounded string,
+  // so trim while a shorter %.*e string still parses back bit-exactly.
+  char tmp[48];
+  char* tend = std::to_chars(tmp, tmp + 48, v,
+                             std::chars_format::scientific).ptr;
+  if (*tmp == '-') *p++ = '-';
+  char digits[40];
+  int nd = 0, exp10 = 0;
+  auto extract = [&](const char* s, const char* send) {
+    if (*s == '-') ++s;
+    nd = 0;
+    for (; s < send && *s != 'e'; ++s) {
+      if (*s != '.') digits[nd++] = *s;
+    }
+    exp10 = 0;
+    bool eneg = false;
+    ++s;  // 'e'
+    if (s < send && (*s == '+' || *s == '-')) eneg = (*s++ == '-');
+    for (; s < send; ++s) exp10 = exp10 * 10 + (*s - '0');
+    if (eneg) exp10 = -exp10;
+  };
+  extract(tmp, tend);
+  while (nd > 1) {
+    char sbuf[48];
+    int sn = snprintf(sbuf, sizeof sbuf, "%.*e", nd - 2, v);
+    double back;
+    auto fr = std::from_chars((const char*)sbuf, sbuf + sn, back);
+    if (fr.ec != std::errc() || memcmp(&back, &v, 8) != 0) break;
+    extract(sbuf, sbuf + sn);
+  }
+  int pos = 1 + exp10;  // scientific: one digit before the point
+  if (pos <= 0) {
+    *p++ = '0'; *p++ = '.';
+    for (int z = 0; z < -pos; ++z) *p++ = '0';
+    memcpy(p, digits, (size_t)nd);
+    return p + nd;
+  }
+  if (pos >= nd) {
+    memcpy(p, digits, (size_t)nd);
+    p += nd;
+    for (int z = 0; z < pos - nd; ++z) *p++ = '0';
+    return p;
+  }
+  memcpy(p, digits, (size_t)pos);
+  p += pos;
+  *p++ = '.';
+  memcpy(p, digits + pos, (size_t)(nd - pos));
+  return p + (nd - pos);
+}
+
+}  // namespace
+
+// (already inside the file's extern "C" block)
+// Format n "row col value\n" lines (indices passed already 1-based).
+GioBuf* gio_mtx_format(const int64_t* rows, const int64_t* cols,
+                       const double* vals, int64_t n, int n_threads) {
+  auto* out = new GioBuf();
+  if (n == 0) return out;
+  int nchunks = std::max(1, std::min<int>(n_threads * 4, (int)std::min<int64_t>(n, 256)));
+  int64_t per = (n + nchunks - 1) / nchunks;
+  std::vector<std::string> parts(nchunks);
+  parallel_chunks(nchunks, n_threads, [&](int64_t clo, int64_t chi) {
+    // worst-case line: 20 + 1 + 20 + 1 + 1078 + 1 bytes; reserve amortized
+    char line[1152];
+    for (int64_t ci = clo; ci < chi; ++ci) {
+      int64_t lo = ci * per, hi = std::min(n, lo + per);
+      if (lo >= hi) continue;
+      std::string& s = parts[ci];
+      s.reserve((size_t)(hi - lo) * 16);
+      for (int64_t i = lo; i < hi; ++i) {
+        char* p = std::to_chars(line, line + 24, rows[i]).ptr;
+        *p++ = ' ';
+        p = std::to_chars(p, p + 24, cols[i]).ptr;
+        *p++ = ' ';
+        p = format_value(vals[i], p);
+        *p++ = '\n';
+        s.append(line, (size_t)(p - line));
+      }
+    }
+  });
+  size_t total = 0;
+  for (auto& s : parts) total += s.size();
+  out->data.resize(total);
+  size_t off = 0;
+  for (auto& s : parts) {
+    memcpy(out->data.data() + off, s.data(), s.size());
+    off += s.size();
+  }
+  return out;
+}
+
+const char* gio_buf_data(GioBuf* b) { return b->data.data(); }
+int64_t gio_buf_len(GioBuf* b) { return (int64_t)b->data.size(); }
+void gio_buf_free(GioBuf* b) { delete b; }
+
+// Parse up to n "row col value" lines from buf (indices emitted 1-based,
+// exactly as stored). Returns the number of lines parsed, or
+// -1 = malformed number, -2 = non-integer row/col index.
+int64_t gio_mtx_parse(const char* buf, int64_t len, int64_t n,
+                      int64_t* rows, int64_t* cols, double* vals,
+                      int n_threads) {
+  if (n == 0) return 0;
+  // pass 1: chunk the buffer at line boundaries, count lines per chunk
+  int nchunks = std::max(1, std::min<int>(n_threads * 4, 256));
+  std::vector<int64_t> c_beg(nchunks + 1, len);
+  c_beg[0] = 0;
+  for (int c = 1; c < nchunks; ++c) {
+    int64_t p = len * c / nchunks;
+    if (p < c_beg[c - 1]) p = c_beg[c - 1];
+    while (p < len && buf[p] != '\n') ++p;
+    c_beg[c] = p < len ? p + 1 : len;
+  }
+  std::vector<int64_t> c_lines(nchunks, 0);
+  parallel_chunks(nchunks, n_threads, [&](int64_t clo, int64_t chi) {
+    for (int64_t c = clo; c < chi; ++c) {
+      int64_t cnt = 0;
+      const char* p = buf + c_beg[c];
+      const char* end = buf + c_beg[c + 1];
+      bool in_line = false;
+      while (p < end) {
+        if (*p == '\n') { in_line = false; }
+        else if (!in_line && *p != '\r') { in_line = true; ++cnt; }
+        ++p;
+      }
+      c_lines[c] = cnt;
+    }
+  });
+  std::vector<int64_t> c_first(nchunks + 1, 0);
+  for (int c = 0; c < nchunks; ++c) c_first[c + 1] = c_first[c] + c_lines[c];
+  std::atomic<int64_t> err(0);
+  parallel_chunks(nchunks, n_threads, [&](int64_t clo, int64_t chi) {
+    for (int64_t c = clo; c < chi; ++c) {
+      int64_t li = c_first[c];
+      const char* p = buf + c_beg[c];
+      const char* end = buf + c_beg[c + 1];
+      while (p < end && li < n) {
+        while (p < end && (*p == '\n' || *p == '\r')) ++p;
+        if (p >= end) break;
+        const char* eol = (const char*)memchr(p, '\n', (size_t)(end - p));
+        if (!eol) eol = end;
+        auto skip_ws = [&] { while (p < eol && (*p == ' ' || *p == '\t' || *p == '\r')) ++p; };
+        int64_t iv[2];
+        bool bad = false;
+        for (int t = 0; t < 2 && !bad; ++t) {
+          skip_ws();
+          auto r = std::from_chars(p, eol, iv[t]);
+          if (r.ec != std::errc()) { err = -1; bad = true; break; }
+          if (r.ptr < eol && *r.ptr != ' ' && *r.ptr != '\t' && *r.ptr != '\r') {
+            err = -2;  // "1.5" / "1e3": index token isn't a bare integer
+            bad = true;
+            break;
+          }
+          p = r.ptr;
+        }
+        if (bad) return;
+        skip_ws();
+        double dv;
+        auto r = std::from_chars(p, eol, dv);
+        if (r.ec != std::errc()) { err = -1; return; }
+        rows[li] = iv[0];
+        cols[li] = iv[1];
+        vals[li] = dv;
+        ++li;
+        p = eol;
+      }
+    }
+  });
+  if (err != 0) return err;
+  int64_t total = std::min<int64_t>(n, c_first[nchunks]);
+  return total;
 }
 
 const char* gio_bam_error(GioBam* h) {

@@ -166,3 +166,64 @@ class TestMatrixMarket:
         m.add_triplet(0, 1, 1.0)
         m.add_triplet(0, 1, 2.0)
         assert m.to_canonical()[1] == [((0, 1), 3.0)]
+
+    def test_native_format_matches_format_f64(self):
+        """The C++ body formatter must agree byte-for-byte with the Python
+        Rust-Display reimplementation on edge values and fuzz."""
+        from vartrix_tpu.io.bam_native import mtx_format_native, native_available
+        if not native_available() or mtx_format_native(
+                np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0)) is None:
+            pytest.skip("libgenomio mtx symbols unavailable")
+        rng = np.random.default_rng(7)
+        vals = np.concatenate([
+            np.array([0.0, -0.0, 3.0, -17.0, 0.47, 1 / 3, 0.1, 1e-8, 1e20,
+                      1e16, 1e15 + 0.5, np.nan, np.inf, -np.inf, 2 / 3, 0.75,
+                      123456.789, 5e-324, 1.7976931348623157e308, -1e-300,
+                      5.917902291714478e16]),
+            rng.random(2000),
+            rng.random(2000) * np.exp(rng.normal(0, 60, 2000)),
+            rng.integers(-10, 10, 500).astype(float),
+        ])
+        body = mtx_format_native(np.arange(1, len(vals) + 1),
+                                 np.ones(len(vals), np.int64), vals)
+        strs = [l.split(" ", 2)[2] for l in body.decode().splitlines()]
+        for v, s in zip(vals.tolist(), strs):
+            assert format_f64(v) == s, (repr(v), format_f64(v), s)
+
+    def test_native_parse_roundtrip_and_errors(self):
+        from vartrix_tpu.io.bam_native import (mtx_format_native,
+                                               mtx_parse_native,
+                                               native_available)
+        if not native_available() or mtx_format_native(
+                np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0)) is None:
+            pytest.skip("libgenomio mtx symbols unavailable")
+        rng = np.random.default_rng(3)
+        r = rng.integers(1, 1000, 5000)
+        c = rng.integers(1, 50, 5000)
+        v = np.concatenate([rng.random(4999), [np.nan]])
+        body = mtx_format_native(r, c, v)
+        r2, c2, v2 = mtx_parse_native(body, 5000)
+        assert (r2 == r).all() and (c2 == c).all()
+        assert ((v2 == v) | (np.isnan(v2) & np.isnan(v))).all()
+        with pytest.raises(ValueError):
+            mtx_parse_native(b"1.5 2 3\n", 1)  # non-integer index
+        with pytest.raises(ValueError):
+            mtx_parse_native(b"1 2 3\n", 2)  # truncated body
+
+    def test_bulk_and_scalar_adds_interleave(self, tmp_path):
+        m = TriMat((10, 10))
+        m.add_triplet(0, 0, 1.0)
+        m.add_triplets([1, 2], [3, 4], [0.5, np.nan])
+        m.add_triplet(9, 9, -2.0)
+        assert m.nnz() == 4
+        assert m.rows.tolist() == [0, 1, 2, 9]
+        assert m.data[1] == 0.5 and np.isnan(m.data[2])
+        p = tmp_path / "i.mtx"
+        write_matrix_market(str(p), m)
+        m2 = read_matrix_market(str(p))
+        assert m2.rows.tolist() == m.rows.tolist()
+        assert m2.cols.tolist() == m.cols.tolist()
+        body = p.read_text().splitlines()[3:]
+        assert body == ["1 1 1", "2 4 0.5", "3 5 NaN", "10 10 -2"]

@@ -19,7 +19,7 @@ Host-side exact implementation of the reference semantics
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 from ..constants import (
@@ -41,12 +41,6 @@ class Scores:
     umi: bytes
     ref_score: int
     alt_score: int
-
-
-@dataclass
-class EvaluateAlnResults:
-    metrics: "object" = None
-    scores: List[Scores] = field(default_factory=list)
 
 
 def evaluate_scores(ref_score: int, alt_score: int) -> Optional[int]:

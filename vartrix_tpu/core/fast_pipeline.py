@@ -35,20 +35,27 @@ FLAG_SECSUP = 0x900
 FLAG_DUP = 0x400
 
 
-def _multi_interval_useful(cbam: ColumnarBam, idx: np.ndarray, start: int,
-                           end: int) -> np.ndarray:
-    """Interval-walk fallback for reads whose aligned span is split by N."""
-    out = np.zeros(len(idx), dtype=bool)
-    hi = end + 1  # inclusive end
-    for k, i in enumerate(idx):
-        a = cbam.itv_off[i] * 2
-        b = cbam.itv_off[i + 1] * 2
-        ivs = cbam.itv_pool[a:b]
-        for t in range(0, len(ivs), 2):
-            if ivs[t] < hi and ivs[t + 1] > start:
-                out[k] = True
-                break
-    return out
+def _multi_interval_useful(cbam: ColumnarBam, idx: np.ndarray,
+                           starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Interval test for reads whose aligned span is split by N, vectorized
+    across all (candidate, interval) pairs: flatten every candidate's
+    aligned-reference intervals, test overlap against the candidate's
+    variant window ([start, end] INCLUSIVE, src/main.rs:794), and reduce
+    per candidate with a bincount. Real 10x scRNA data is dominated by
+    spliced (N-containing) reads, so this path must scale like the rest of
+    the filter chain."""
+    a = cbam.itv_off[idx].astype(np.int64)
+    cnt = (cbam.itv_off[idx + 1] - cbam.itv_off[idx]).astype(np.int64)
+    total = int(cnt.sum())
+    if total == 0:
+        return np.zeros(len(idx), dtype=bool)
+    owner = np.repeat(np.arange(len(idx), dtype=np.int64), cnt)
+    cum = np.cumsum(cnt) - cnt
+    flat = np.arange(total, dtype=np.int64) - np.repeat(cum, cnt) + np.repeat(a, cnt)
+    iv_beg = cbam.itv_pool[flat * 2].astype(np.int64)
+    iv_end = cbam.itv_pool[flat * 2 + 1].astype(np.int64)
+    hit = (iv_beg <= ends[owner]) & (iv_end > starts[owner])
+    return np.bincount(owner[hit], minlength=len(idx)) > 0
 
 
 def collect_reads_fast(
@@ -132,9 +139,9 @@ def collect_reads_fast(
     ni = n_itv[cand]
     useful = ni == 1  # single aligned interval == fetch overlap window
     multi = np.nonzero(alive & (ni > 1))[0]
-    for k in multi:
-        useful[k] = _multi_interval_useful(
-            cbam, cand[k : k + 1], int(starts_f[k]), int(ends_f[k]))[0]
+    if len(multi):
+        useful[multi] = _multi_interval_useful(
+            cbam, cand[multi], starts_f[multi], ends_f[multi])
     drop = alive & ~useful
     num_not_useful = count_per_var(drop)
     alive &= useful

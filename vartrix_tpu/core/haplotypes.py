@@ -25,13 +25,6 @@ class Locus:
     end: int    # exclusive: start + len(REF)
 
 
-@dataclass
-class VariantHaps:
-    locus: Locus
-    rref: bytes
-    alt: bytes
-
-
 def read_locus(fa: IndexedFasta, loc: Locus, pad_left: int, pad_right: int) -> tuple[bytes, int]:
     new_start = max(0, loc.start - pad_left)
     new_end = min(loc.end + pad_right, fa.chrom_len(loc.chrom))

@@ -445,7 +445,8 @@ def _main(argv: List[str]) -> None:
         validate_output_path(args.out_barcodes)
         write_barcodes(args.out_barcodes, cell_barcodes)
 
-    if sum(matrix.data) == 0.0:
+    matrix_sum = float(matrix.data.sum()) if matrix.nnz() else 0.0
+    if matrix_sum == 0.0:
         log.error("The resulting matrix has a sum of 0. Did you use the --umi "
                   "flag on data without UMIs?")
 

@@ -60,6 +60,7 @@ def get_lib() -> ctypes.CDLL:
             getattr(lib, name).argtypes = [vp]
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
         try:  # absent in pre-existing .so builds; callers fall back to numpy
             lib.gio_gather_padded.restype = None
             lib.gio_gather_padded.argtypes = [
@@ -67,8 +68,76 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.c_int]
         except AttributeError:
             pass
+        try:
+            lib.gio_mtx_format.restype = vp
+            lib.gio_mtx_format.argtypes = [i64p, i64p, f64p, ctypes.c_int64,
+                                           ctypes.c_int]
+            lib.gio_buf_data.restype = ctypes.c_void_p
+            lib.gio_buf_data.argtypes = [vp]
+            lib.gio_buf_len.restype = ctypes.c_int64
+            lib.gio_buf_len.argtypes = [vp]
+            lib.gio_buf_free.argtypes = [vp]
+            lib.gio_mtx_parse.restype = ctypes.c_int64
+            lib.gio_mtx_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                          ctypes.c_int64, i64p, i64p, f64p,
+                                          ctypes.c_int]
+        except AttributeError:
+            pass
         _lib = lib
     return _lib
+
+
+def mtx_format_native(rows1: np.ndarray, cols1: np.ndarray,
+                      vals: np.ndarray, n_threads: int = 0) -> Optional[bytes]:
+    """Format 'row col value' body lines natively (indices already
+    1-based); None when the library predates the symbol."""
+    lib = get_lib()
+    if not hasattr(lib, "gio_mtx_format"):
+        return None
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    r = np.ascontiguousarray(rows1, dtype=np.int64)
+    c = np.ascontiguousarray(cols1, dtype=np.int64)
+    v = np.ascontiguousarray(vals, dtype=np.float64)
+    h = lib.gio_mtx_format(r.ctypes.data_as(i64p), c.ctypes.data_as(i64p),
+                           v.ctypes.data_as(f64p), ctypes.c_int64(len(r)),
+                           ctypes.c_int(n_threads))
+    try:
+        n = lib.gio_buf_len(h)
+        return ctypes.string_at(lib.gio_buf_data(h), n) if n else b""
+    finally:
+        lib.gio_buf_free(h)
+
+
+def mtx_parse_native(body: bytes, nnz: int, n_threads: int = 0):
+    """Parse nnz 'row col value' lines natively -> (rows1, cols1, vals)
+    with 1-based indices, or None when unavailable. Raises ValueError on
+    non-integer indices (same condition the Python parser rejects)."""
+    lib = get_lib()
+    if not hasattr(lib, "gio_mtx_parse"):
+        return None
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    rows = np.empty(nnz, dtype=np.int64)
+    cols = np.empty(nnz, dtype=np.int64)
+    vals = np.empty(nnz, dtype=np.float64)
+    got = lib.gio_mtx_parse(body, ctypes.c_int64(len(body)),
+                            ctypes.c_int64(nnz),
+                            rows.ctypes.data_as(i64p),
+                            cols.ctypes.data_as(i64p),
+                            vals.ctypes.data_as(f64p),
+                            ctypes.c_int(n_threads))
+    if got == -2:
+        raise ValueError("non-integer matrix indices")
+    if got < 0:
+        return None  # malformed for the native parser; let Python decide
+    if got < nnz:
+        raise ValueError(f"expected {nnz} 'row col value' lines, got {got}")
+    return rows, cols, vals
 
 
 def gather_padded(seq_pool: np.ndarray, seq_off: np.ndarray,

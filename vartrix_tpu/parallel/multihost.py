@@ -68,8 +68,7 @@ def merge_partials(out_path: str, partial_paths: List[str]) -> None:
             raise ValueError(f"{p}: shape {m.shape} != {shape}")
     out = TriMat(shape)
     for m in mats:
-        for r, c, v in zip(m.rows, m.cols, m.data):
-            out.add_triplet(r, c, v)
+        out.add_triplets(m.rows, m.cols, m.data)
     write_matrix_market(out_path, out)
     log.info("Merged %d partial matrices (%d entries) into %s",
              len(mats), out.nnz(), out_path)
@@ -89,30 +88,32 @@ def merge_main(argv: Optional[List[str]] = None) -> None:
 
 
 def gather_triplets(matrix, process_index: int, process_count: int):
-    """Merge per-process partial TriMats (disjoint rows) into process 0
-    via process_allgather over padded fixed-size buffers. Returns the
-    merged TriMat on every process (identical content)."""
+    """Merge per-process partial TriMats (disjoint rows) into every
+    process via process_allgather over padded fixed-size buffers.
+    Indices travel as int64 and values as float64 (exact, incl. NaN);
+    the merge is bulk array insertion — no per-triplet Python work."""
     import numpy as np
     from jax.experimental import multihost_utils
 
     from ..io.matrix_market import TriMat
 
-    local = np.zeros((3, matrix.nnz()), dtype=np.float64)
-    local[0] = matrix.rows
-    local[1] = matrix.cols
-    local[2] = matrix.data
-    counts = multihost_utils.process_allgather(
-        np.array([matrix.nnz()], dtype=np.int64))
+    n_local = matrix.nnz()
+    counts = np.asarray(multihost_utils.process_allgather(
+        np.array([n_local], dtype=np.int64))).reshape(process_count)
     max_n = int(counts.max()) if counts.size else 0
-    padded = np.zeros((3, max_n), dtype=np.float64)
-    padded[:, : matrix.nnz()] = local
-    gathered = multihost_utils.process_allgather(padded)
+    idx = np.zeros((2, max_n), dtype=np.int64)
+    idx[0, :n_local] = matrix.rows
+    idx[1, :n_local] = matrix.cols
+    dat = np.zeros(max_n, dtype=np.float64)
+    dat[:n_local] = matrix.data
+    g_idx = np.asarray(multihost_utils.process_allgather(idx)).reshape(
+        process_count, 2, max_n)
+    g_dat = np.asarray(multihost_utils.process_allgather(dat)).reshape(
+        process_count, max_n)
     merged = TriMat(matrix.shape)
     for p in range(process_count):
-        n = int(counts[p][0]) if counts.ndim > 1 else int(counts[p])
-        for k in range(n):
-            merged.add_triplet(int(gathered[p][0][k]), int(gathered[p][1][k]),
-                               float(gathered[p][2][k]))
+        n = int(counts[p])
+        merged.add_triplets(g_idx[p, 0, :n], g_idx[p, 1, :n], g_dat[p, :n])
     return merged
 
 
