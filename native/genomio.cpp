@@ -19,6 +19,7 @@
 //
 // Build: native/build.sh -> vartrix_tpu/_native/libgenomio.so
 
+#include <unistd.h>
 #include <zlib.h>
 
 #include <atomic>
@@ -130,6 +131,141 @@ void scan_aux(const uint8_t* p, const uint8_t* end, const char* tag1,
   }
 }
 
+// Decode passes shared by the whole-file and region loaders: rec_ptr[i]
+// points at record i's 4-byte block_size prefix in some inflated buffer.
+static void decode_records(GioBam* h, const uint8_t* const* rec_ptr,
+                           int64_t n, const char* cb_tag, int n_threads) {
+  h->n = n;
+  h->tid.resize(n);
+  h->pos.resize(n);
+  h->ref_end.resize(n);
+  h->mapq.resize(n);
+  h->flag.resize(n);
+  h->seq_off.resize(n + 1);
+  h->itv_off.resize(n + 1);
+  h->cb_off.resize(n + 1);
+  h->ub_off.resize(n + 1);
+
+  // --- pass A: per-record sizes (parallel) for pool offsets ---
+  std::vector<int32_t> seq_len(n), itv_cnt(n), cb_len(n), ub_len(n);
+  const char* ub_tag = "UB";
+  parallel_chunks(n, n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint8_t* r = rec_ptr[i];
+      int32_t bs;
+      memcpy(&bs, r, 4);
+      const uint8_t* body = r + 4;
+      const uint8_t* bend = body + bs;
+      int32_t l_seq;
+      uint8_t l_read_name = body[8];
+      uint16_t n_cigar;
+      memcpy(&n_cigar, body + 12, 2);
+      memcpy(&l_seq, body + 16, 4);
+      seq_len[i] = l_seq;
+      const uint8_t* cig = body + 32 + l_read_name;
+      // count aligned intervals: runs of M/=/X/D separated by N
+      int cnt = 0;
+      bool open = false;
+      for (uint16_t c = 0; c < n_cigar; ++c) {
+        uint32_t v;
+        memcpy(&v, cig + 4 * c, 4);
+        uint32_t op = v & 0xF;
+        if (op == 0 || op == 7 || op == 8 || op == 2) {
+          if (!open) { ++cnt; open = true; }
+        } else if (op == 3) {
+          open = false;
+        }
+      }
+      itv_cnt[i] = cnt;
+      const uint8_t* aux = cig + 4 * n_cigar + (l_seq + 1) / 2 + l_seq;
+      const uint8_t *v1, *v2;
+      int32_t l1, l2;
+      scan_aux(aux, bend, cb_tag, ub_tag, &v1, &l1, &v2, &l2);
+      cb_len[i] = l1;
+      ub_len[i] = l2;
+    }
+  });
+  h->seq_off[0] = h->itv_off[0] = h->cb_off[0] = h->ub_off[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    h->seq_off[i + 1] = h->seq_off[i] + seq_len[i];
+    h->itv_off[i + 1] = h->itv_off[i] + itv_cnt[i];
+    h->cb_off[i + 1] = h->cb_off[i] + cb_len[i];
+    h->ub_off[i + 1] = h->ub_off[i] + ub_len[i];
+  }
+  h->seq_pool.resize((size_t)h->seq_off[n]);
+  h->itv_pool.resize((size_t)h->itv_off[n] * 2);
+  h->cb_pool.resize((size_t)h->cb_off[n]);
+  h->ub_pool.resize((size_t)h->ub_off[n]);
+
+  // --- pass B: full decode (parallel) ---
+  parallel_chunks(n, n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint8_t* r = rec_ptr[i];
+      int32_t bs;
+      memcpy(&bs, r, 4);
+      const uint8_t* body = r + 4;
+      const uint8_t* bend = body + bs;
+      int32_t refid, p0, l_seq;
+      memcpy(&refid, body, 4);
+      memcpy(&p0, body + 4, 4);
+      uint8_t l_read_name = body[8];
+      h->mapq[i] = body[9];
+      uint16_t n_cigar, flg;
+      memcpy(&n_cigar, body + 12, 2);
+      memcpy(&flg, body + 14, 2);
+      memcpy(&l_seq, body + 16, 4);
+      h->tid[i] = refid;
+      h->pos[i] = p0;
+      h->flag[i] = flg;
+      const uint8_t* cig = body + 32 + l_read_name;
+      // ref_end + aligned intervals
+      int32_t rp = p0;
+      int64_t iv = h->itv_off[i] * 2;
+      bool open = false;
+      int32_t ref_len = 0;
+      for (uint16_t c = 0; c < n_cigar; ++c) {
+        uint32_t v;
+        memcpy(&v, cig + 4 * c, 4);
+        uint32_t op = v & 0xF;
+        int32_t l = (int32_t)(v >> 4);
+        bool consumes_ref = (op == 0 || op == 2 || op == 3 || op == 7 || op == 8);
+        bool aligned = (op == 0 || op == 2 || op == 7 || op == 8);
+        if (aligned) {
+          if (!open) {
+            h->itv_pool[iv] = rp;
+            h->itv_pool[iv + 1] = rp + l;
+            open = true;
+          } else {
+            h->itv_pool[iv + 1] = rp + l;
+          }
+        } else if (op == 3 && open) {
+          iv += 2;
+          open = false;
+        }
+        if (consumes_ref) {
+          rp += l;
+          ref_len += l;
+        }
+      }
+      h->ref_end[i] = ref_len > 0 ? p0 + ref_len : p0 + 1;
+      // sequence decode
+      const uint8_t* sq = cig + 4 * n_cigar;
+      uint8_t* out = h->seq_pool.data() + h->seq_off[i];
+      for (int32_t s = 0; s < l_seq; ++s) {
+        uint8_t b = sq[s >> 1];
+        out[s] = (uint8_t)SEQ_NT16[(s & 1) ? (b & 0xF) : (b >> 4)];
+      }
+      // aux tags
+      const uint8_t* aux = sq + (l_seq + 1) / 2 + l_seq;
+      const uint8_t *v1, *v2;
+      int32_t l1, l2;
+      scan_aux(aux, bend, cb_tag, "UB", &v1, &l1, &v2, &l2);
+      if (l1) memcpy(h->cb_pool.data() + h->cb_off[i], v1, (size_t)l1);
+      if (l2) memcpy(h->ub_pool.data() + h->ub_off[i], v2, (size_t)l2);
+    }
+  });
+}
+
 }  // namespace
 
 extern "C" {
@@ -231,135 +367,159 @@ GioBam* gio_bam_load(const char* path, const char* cb_tag, int n_threads) {
     }
   }
   int64_t n = (int64_t)rec_off.size();
-  h->n = n;
-  h->tid.resize(n);
-  h->pos.resize(n);
-  h->ref_end.resize(n);
-  h->mapq.resize(n);
-  h->flag.resize(n);
-  h->seq_off.resize(n + 1);
-  h->itv_off.resize(n + 1);
-  h->cb_off.resize(n + 1);
-  h->ub_off.resize(n + 1);
+  std::vector<const uint8_t*> rec_ptr(n);
+  for (int64_t i = 0; i < n; ++i) rec_ptr[i] = data.data() + rec_off[i];
+  decode_records(h, rec_ptr.data(), n, cb_tag, n_threads);
+  return h;
+}
 
-  // --- pass 4a: per-record sizes (parallel) for pool offsets ---
-  std::vector<int32_t> seq_len(n), itv_cnt(n), cb_len(n), ub_len(n);
-  const char* ub_tag = "UB";
-  parallel_chunks(n, n_threads, [&](int64_t lo, int64_t hi) {
-    for (int64_t i = lo; i < hi; ++i) {
-      const uint8_t* r = data.data() + rec_off[i];
-      int32_t bs;
-      memcpy(&bs, r, 4);
-      const uint8_t* body = r + 4;
-      const uint8_t* bend = body + bs;
-      int32_t l_seq;
-      uint8_t l_read_name = body[8];
-      uint16_t n_cigar;
-      memcpy(&n_cigar, body + 12, 2);
-      memcpy(&l_seq, body + 16, 4);
-      seq_len[i] = l_seq;
-      const uint8_t* cig = body + 32 + l_read_name;
-      // count aligned intervals: runs of M/=/X/D separated by N
-      int cnt = 0;
-      bool open = false;
-      for (uint16_t c = 0; c < n_cigar; ++c) {
-        uint32_t v;
-        memcpy(&v, cig + 4 * c, 4);
-        uint32_t op = v & 0xF;
-        if (op == 0 || op == 7 || op == 8 || op == 2) {
-          if (!open) { ++cnt; open = true; }
-        } else if (op == 3) {
-          open = false;
-        }
-      }
-      itv_cnt[i] = cnt;
-      const uint8_t* aux = cig + 4 * n_cigar + (l_seq + 1) / 2 + l_seq;
-      const uint8_t *v1, *v2;
-      int32_t l1, l2;
-      scan_aux(aux, bend, cb_tag, ub_tag, &v1, &l1, &v2, &l2);
-      cb_len[i] = l1;
-      ub_len[i] = l2;
+// Region loader: decode ONLY the BGZF blocks the given index chunks touch
+// (the htslib fetch model the reference uses per variant,
+// /root/reference/src/main.rs:822-826, lifted to a batched plan). chunks =
+// n_chunks (vbeg, vend) virtual-offset pairs, sorted and non-overlapping
+// (the Python side merges them from BAI/CSI region queries). Peak memory
+// is the inflated chunk data + decoded columns — independent of file size.
+GioBam* gio_bam_load_regions(const char* path, const char* cb_tag,
+                             int n_threads, const int64_t* chunks,
+                             int64_t n_chunks) {
+  auto* h = new GioBam();
+  FILE* f = fopen(path, "rb");
+  if (!f) { h->error = "cannot open file"; return h; }
+  int fd = fileno(f);
+
+  // one BGZF block at file offset `off` -> append payload to out;
+  // returns compressed size (0 on EOF/corrupt)
+  auto inflate_at = [&](int64_t off, std::vector<uint8_t>& out) -> int64_t {
+    uint8_t head[18];
+    if (pread(fd, head, 18, off) != 18) return 0;
+    if (!(head[0] == 0x1f && head[1] == 0x8b && head[2] == 8 && (head[3] & 4)))
+      return 0;
+    uint16_t xlen;
+    memcpy(&xlen, head + 10, 2);
+    std::vector<uint8_t> extra(xlen);
+    if (xlen <= 6) {
+      memcpy(extra.data(), head + 12, xlen);
+    } else {
+      memcpy(extra.data(), head + 12, 6);
+      if (pread(fd, extra.data() + 6, xlen - 6, off + 18) != xlen - 6) return 0;
     }
-  });
-  h->seq_off[0] = h->itv_off[0] = h->cb_off[0] = h->ub_off[0] = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    h->seq_off[i + 1] = h->seq_off[i] + seq_len[i];
-    h->itv_off[i + 1] = h->itv_off[i] + itv_cnt[i];
-    h->cb_off[i + 1] = h->cb_off[i] + cb_len[i];
-    h->ub_off[i + 1] = h->ub_off[i] + ub_len[i];
+    uint32_t bsize = 0;
+    size_t xo = 0;
+    while (xo + 4 <= extra.size()) {
+      uint16_t slen;
+      memcpy(&slen, extra.data() + xo + 2, 2);
+      if (extra[xo] == 'B' && extra[xo + 1] == 'C' && slen == 2) {
+        uint16_t bs16;
+        memcpy(&bs16, extra.data() + xo + 4, 2);
+        bsize = (uint32_t)bs16 + 1;
+      }
+      xo += 4 + slen;
+    }
+    if (!bsize) return 0;
+    size_t clen = bsize - 12 - xlen - 8;
+    std::vector<uint8_t> cdata(clen + 8);
+    if (pread(fd, cdata.data(), clen + 8, off + 12 + xlen) != (ssize_t)(clen + 8))
+      return 0;
+    uint32_t isize;
+    memcpy(&isize, cdata.data() + clen + 4, 4);
+    size_t base = out.size();
+    out.resize(base + isize);
+    if (isize && !inflate_block(cdata.data(), clen, out.data() + base, isize))
+      return 0;
+    return (int64_t)bsize;
+  };
+
+  // --- header: inflate leading blocks until the header region parses ---
+  {
+    std::vector<uint8_t> hdr;
+    int64_t off = 0;
+    auto need = [&](size_t want) -> bool {
+      while (hdr.size() < want) {
+        int64_t bs = inflate_at(off, hdr);
+        if (bs <= 0) return false;
+        off += bs;
+      }
+      return true;
+    };
+    if (!need(12) || memcmp(hdr.data(), "BAM\x01", 4) != 0) {
+      fclose(f);
+      h->error = "not a BAM stream";
+      return h;
+    }
+    int32_t l_text;
+    memcpy(&l_text, hdr.data() + 4, 4);
+    if (!need(8 + (size_t)l_text + 4)) { fclose(f); h->error = "truncated header"; return h; }
+    size_t o = 8 + (size_t)l_text;
+    int32_t n_ref;
+    memcpy(&n_ref, hdr.data() + o, 4);
+    o += 4;
+    for (int32_t i = 0; i < n_ref; ++i) {
+      if (!need(o + 4)) { fclose(f); h->error = "truncated header"; return h; }
+      int32_t l_name;
+      memcpy(&l_name, hdr.data() + o, 4);
+      if (!need(o + 8 + (size_t)l_name)) { fclose(f); h->error = "truncated header"; return h; }
+      std::string name((const char*)hdr.data() + o + 4, (size_t)l_name - 1);
+      int32_t l_ref;
+      memcpy(&l_ref, hdr.data() + o + 4 + l_name, 4);
+      h->refs.push_back({name, l_ref});
+      o += 8 + l_name;
+    }
   }
-  h->seq_pool.resize((size_t)h->seq_off[n]);
-  h->itv_pool.resize((size_t)h->itv_off[n] * 2);
-  h->cb_pool.resize((size_t)h->cb_off[n]);
-  h->ub_pool.resize((size_t)h->ub_off[n]);
 
-  // --- pass 4b: full decode (parallel) ---
-  parallel_chunks(n, n_threads, [&](int64_t lo, int64_t hi) {
-    for (int64_t i = lo; i < hi; ++i) {
-      const uint8_t* r = data.data() + rec_off[i];
-      int32_t bs;
-      memcpy(&bs, r, 4);
-      const uint8_t* body = r + 4;
-      const uint8_t* bend = body + bs;
-      int32_t refid, p0, l_seq;
-      memcpy(&refid, body, 4);
-      memcpy(&p0, body + 4, 4);
-      uint8_t l_read_name = body[8];
-      h->mapq[i] = body[9];
-      uint16_t n_cigar, flg;
-      memcpy(&n_cigar, body + 12, 2);
-      memcpy(&flg, body + 14, 2);
-      memcpy(&l_seq, body + 16, 4);
-      h->tid[i] = refid;
-      h->pos[i] = p0;
-      h->flag[i] = flg;
-      const uint8_t* cig = body + 32 + l_read_name;
-      // ref_end + aligned intervals
-      int32_t rp = p0;
-      int64_t iv = h->itv_off[i] * 2;
-      bool open = false;
-      int32_t ref_len = 0;
-      for (uint16_t c = 0; c < n_cigar; ++c) {
-        uint32_t v;
-        memcpy(&v, cig + 4 * c, 4);
-        uint32_t op = v & 0xF;
-        int32_t l = (int32_t)(v >> 4);
-        bool consumes_ref = (op == 0 || op == 2 || op == 3 || op == 7 || op == 8);
-        bool aligned = (op == 0 || op == 2 || op == 7 || op == 8);
-        if (aligned) {
-          if (!open) {
-            h->itv_pool[iv] = rp;
-            h->itv_pool[iv + 1] = rp + l;
-            open = true;
-          } else {
-            h->itv_pool[iv + 1] = rp + l;
-          }
-        } else if (op == 3 && open) {
-          iv += 2;
-          open = false;
-        }
-        if (consumes_ref) {
-          rp += l;
-          ref_len += l;
-        }
+  // --- per chunk (parallel): inflate its blocks, index its records ---
+  struct ChunkBuf {
+    std::vector<uint8_t> data;
+    std::vector<size_t> rec_off;
+  };
+  std::vector<ChunkBuf> bufs(n_chunks);
+  std::atomic<bool> ok(true);
+  parallel_chunks(n_chunks, n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t ci = lo; ci < hi && ok; ++ci) {
+      int64_t vbeg = chunks[2 * ci], vend = chunks[2 * ci + 1];
+      int64_t coff = vbeg >> 16, cend = vend >> 16;
+      ChunkBuf& cb = bufs[ci];
+      size_t end_local = SIZE_MAX;  // local offset corresponding to vend
+      int64_t cur = coff;
+      while (cur < cend || (cur == cend && (vend & 0xFFFF) != 0)) {
+        if (cur == cend) end_local = cb.data.size() + (size_t)(vend & 0xFFFF);
+        int64_t bs = inflate_at(cur, cb.data);
+        if (bs <= 0) { ok = false; return; }
+        cur += bs;
       }
-      h->ref_end[i] = ref_len > 0 ? p0 + ref_len : p0 + 1;
-      // sequence decode
-      const uint8_t* sq = cig + 4 * n_cigar;
-      uint8_t* out = h->seq_pool.data() + h->seq_off[i];
-      for (int32_t s = 0; s < l_seq; ++s) {
-        uint8_t b = sq[s >> 1];
-        out[s] = (uint8_t)SEQ_NT16[(s & 1) ? (b & 0xF) : (b >> 4)];
+      if (end_local == SIZE_MAX) end_local = cb.data.size();
+      // index records [vbeg&0xFFFF, end_local); extend with more blocks if
+      // a record spans past the chunk end (defensive: BAI chunk ends are
+      // record boundaries, but merged/foreign indexes may be sloppier)
+      size_t u = (size_t)(vbeg & 0xFFFF);
+      while (u < end_local) {
+        while (u + 4 > cb.data.size()) {
+          int64_t bs = inflate_at(cur, cb.data);
+          if (bs <= 0) { ok = false; return; }
+          cur += bs;
+        }
+        int32_t bs32;
+        memcpy(&bs32, cb.data.data() + u, 4);
+        if (bs32 <= 0) { ok = false; return; }
+        while (u + 4 + (size_t)bs32 > cb.data.size()) {
+          int64_t bs = inflate_at(cur, cb.data);
+          if (bs <= 0) { ok = false; return; }
+          cur += bs;
+        }
+        cb.rec_off.push_back(u);
+        u += 4 + (size_t)bs32;
       }
-      // aux tags
-      const uint8_t* aux = sq + (l_seq + 1) / 2 + l_seq;
-      const uint8_t *v1, *v2;
-      int32_t l1, l2;
-      scan_aux(aux, bend, cb_tag, "UB", &v1, &l1, &v2, &l2);
-      if (l1) memcpy(h->cb_pool.data() + h->cb_off[i], v1, (size_t)l1);
-      if (l2) memcpy(h->ub_pool.data() + h->ub_off[i], v2, (size_t)l2);
     }
   });
+  fclose(f);
+  if (!ok) { h->error = "BGZF chunk decode failure"; return h; }
+
+  int64_t n = 0;
+  for (auto& cb : bufs) n += (int64_t)cb.rec_off.size();
+  std::vector<const uint8_t*> rec_ptr;
+  rec_ptr.reserve((size_t)n);
+  for (auto& cb : bufs)
+    for (size_t off : cb.rec_off) rec_ptr.push_back(cb.data.data() + off);
+  decode_records(h, rec_ptr.data(), n, cb_tag, n_threads);
   return h;
 }
 

@@ -66,14 +66,32 @@ class TestBai:
         assert a == b
 
     def test_indexed_fetch_on_written_bam(self, tmp_path):
-        # our fake .bai has no bins; IndexedBamReader must still parse it
-        # and yield nothing rather than crash
+        # write_bam emits a REAL .bai (bins + linear index): indexed fetch
+        # must find the record, and miss regions must stay empty
         from vartrix_tpu.io.bam_writer import encode_record, write_bam
         p = tmp_path / "w.bam"
         write_bam(str(p), [("c1", 1000)],
                   [encode_record(b"r", 0, 0, 10, 60, [(0, 5)], b"ACGTA")])
         idx = IndexedBamReader(str(p))
-        assert list(idx.fetch("c1", 0, 1000)) == []
+        recs = list(idx.fetch("c1", 0, 1000))
+        assert len(recs) == 1 and recs[0].pos == 10 and recs[0].qname == b"r"
+        assert list(idx.fetch("c1", 500, 1000)) == []
+        assert list(idx.fetch("c1", 0, 10)) == []  # ends before rec start
+
+    def test_written_index_matches_linear_scan(self, tmp_path):
+        """Round-trip: synth dataset -> real .bai -> indexed fetch equals
+        the whole-file linear scan on every variant window."""
+        from vartrix_tpu.utils.synth import SynthConfig, generate_dataset
+        info = generate_dataset(str(tmp_path), SynthConfig(
+            n_variants=20, n_cells=30, reads_per_variant=25,
+            background_reads=400, seed=11))
+        lin = BamReader(info["bam"])
+        idx = IndexedBamReader(info["bam"])
+        chroms = info["chroms"]
+        for ci, pos, ref, alt in info["variants"]:
+            a = [(r.pos, r.qname) for r in lin.fetch(chroms[ci], pos, pos + len(ref))]
+            b = [(r.pos, r.qname) for r in idx.fetch(chroms[ci], pos, pos + len(ref))]
+            assert a == b and len(a) > 0
 
 
 class TestCsi:

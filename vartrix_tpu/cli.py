@@ -79,6 +79,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host", choices=["auto", "native", "python"], default="auto",
                    help="Host-side BAM runtime: native columnar decoder "
                         "(libgenomio C++) or pure-Python reference path")
+    p.add_argument("--fetch", choices=["auto", "whole", "regions"],
+                   default="auto",
+                   help="BAM read strategy: decode the whole file (fastest "
+                        "for dense variant sets) or only the BAI/CSI-indexed "
+                        "regions overlapping variants (bounded memory for "
+                        "whole-genome BAMs with sparse VCFs). 'auto' picks "
+                        "by the fraction of the file the variant windows "
+                        "cover")
     p.add_argument("--profile-dir", dest="profile_dir", metavar="DIR", default=None,
                    help="Write a jax.profiler trace of the scoring phase to "
                         "this directory (view with TensorBoard/Perfetto)")

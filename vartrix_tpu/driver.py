@@ -227,10 +227,10 @@ def _main(argv: List[str]) -> None:
         # debug logging "very slow" too (README.md:108-110)
         use_native = False
 
-    # the native path decodes records via libgenomio: validation only needs
-    # the header, so skip inflating the record stream here
+    # validation only needs the header (names/lengths); the record stream
+    # is opened by whichever fetch strategy the plan below picks
     with _phase("validate"):
-        bam = open_reads(args.bam, args.fasta, header_only=use_native)
+        bam = open_reads(args.bam, args.fasta, header_only=True)
         fasta = IndexedFasta(args.fasta)
         validate_inputs(records, bam, fasta.index)
 
@@ -264,6 +264,31 @@ def _main(argv: List[str]) -> None:
 
     with _phase("haplotypes"):
         works = prepare_variants(records, fasta, pargs, row_range=row_range)
+
+    # --- fetch planning: whole-file decode vs indexed region decode ---
+    # The reference's hot loop is bam.fetch per variant via BAI
+    # (src/main.rs:822-826); the batched equivalent is one merged chunk
+    # plan over all variant windows. Whole-file decode wins for dense
+    # variant sets (sequential IO, parallel inflate); the region plan wins
+    # — and bounds memory — when variants cover a small file fraction.
+    fetch_chunks = None
+    if args.fetch != "whole" and not _is_cram(args.bam):
+        from .io.bai import plan_region_fetch
+        loci = [(w.locus.chrom, w.locus.start, w.locus.end)
+                for w in works if not w.skipped]
+        plan, frac = plan_region_fetch(args.bam, loci, bam.tid_by_name)
+        if plan is not None and not plan and (args.fetch == "auto" or not loci):
+            # an empty plan with live variants is indistinguishable from a
+            # stub/foreign index; auto stays on the safe whole-file path.
+            # With no live variants there is nothing to fetch either way.
+            plan = None
+        if plan is not None and (args.fetch == "regions" or frac < 0.5):
+            fetch_chunks = plan
+            log.info("Fetch plan: %d merged chunks covering ~%.1f%% of the "
+                     "BAM (indexed region decode)", len(plan), 100 * frac)
+        elif args.fetch == "regions":
+            log.error("--fetch regions requested but no usable BAM index")
+            sys.exit(1)
     if args.mesh_devices:
         from .ops.sw_pallas_v2 import make_mesh_scorer
         if args.backend not in ("auto", "tpu"):
@@ -293,7 +318,8 @@ def _main(argv: List[str]) -> None:
             bam_path = tmp.name
         with _phase("decode"):
             cbam = ColumnarBam(bam_path, pargs.bam_tag.encode(),
-                               n_threads=max(args.threads, 1))
+                               n_threads=max(args.threads, 1),
+                               chunks=fetch_chunks)
         with _phase("collect"):
             read_idx, cells_l, umis_l = collect_reads_fast(
                 cbam, works, cell_barcodes, pargs)
@@ -368,7 +394,14 @@ def _main(argv: List[str]) -> None:
                          "at barcode index %d. Check this locus manually",
                          int(r), int(c))
     else:
-        collect_reads(bam, works, cell_barcodes, pargs)
+        if _is_cram(args.bam):
+            reads_src = bam  # CramReader decodes its own containers
+        elif fetch_chunks is not None:
+            from .io.bai import RegionStream
+            reads_src = RegionStream(args.bam, fetch_chunks)
+        else:
+            reads_src = BamReader(args.bam)
+        collect_reads(reads_src, works, cell_barcodes, pargs)
         per_variant_scores = score_all(works, score_fn)
         if log.isEnabledFor(logging.DEBUG):
             from .ops.sw_numpy import pretty_alignment

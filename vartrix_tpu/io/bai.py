@@ -265,38 +265,114 @@ class IndexedBamReader:
     def close(self):
         self._bgzf.close()
 
+    def _records_in_chunk(self, cb: int, ce: int) -> Iterator[BamRecord]:
+        """Decode every record in the virtual-offset range [cb, ce)."""
+        voff = cb
+        while voff < ce:
+            head = self._bgzf.read_at(voff, 4)
+            if len(head) < 4:
+                break
+            bs = struct.unpack_from("<i", head, 0)[0]
+            buf = self._bgzf.read_at(voff, 4 + bs)[4:]
+            rec = _decode_record(buf)
+            # advance the virtual offset past this record
+            coffset, uoffset = voff >> 16, voff & 0xFFFF
+            remaining = 4 + bs
+            while remaining > 0:
+                payload, nxt = self._bgzf.block(coffset)
+                avail = len(payload) - uoffset
+                if avail > remaining:
+                    uoffset += remaining
+                    remaining = 0
+                else:
+                    remaining -= avail
+                    coffset, uoffset = nxt, 0
+            voff = (coffset << 16) | uoffset
+            yield rec
+
     def fetch(self, chrom: str, start: int, end: int) -> Iterator[BamRecord]:
         tid = self.tid_by_name.get(chrom)
         if tid is None:
             raise KeyError(f"chromosome {chrom} not in BAM header")
         for cb, ce in self.index.chunks_for_region(tid, start, end):
-            voff = cb
-            while voff < ce:
-                head = self._bgzf.read_at(voff, 4)
-                if len(head) < 4:
-                    break
-                bs = struct.unpack_from("<i", head, 0)[0]
-                buf = self._bgzf.read_at(voff, 4 + bs)[4:]
-                rec = _decode_record(buf)
-                # advance the virtual offset past this record
-                coffset, uoffset = voff >> 16, voff & 0xFFFF
-                remaining = 4 + bs
-                while remaining > 0:
-                    payload, nxt = self._bgzf.block(coffset)
-                    avail = len(payload) - uoffset
-                    if avail > remaining:
-                        uoffset += remaining
-                        remaining = 0
-                    else:
-                        remaining -= avail
-                        coffset, uoffset = nxt, 0
-                if uoffset == 0 and remaining == 0:
-                    # landed exactly on a block boundary
-                    pass
-                voff = (coffset << 16) | uoffset
+            for rec in self._records_in_chunk(cb, ce):
                 if rec.tid != tid or rec.pos >= end:
                     if rec.tid > tid or (rec.tid == tid and rec.pos >= end):
                         break
                     continue
                 if rec.endpos() > start:
                     yield rec
+
+
+def merge_chunk_lists(chunk_lists, gap_bytes: int = 16384):
+    """Union of per-region chunk lists into a sorted, disjoint plan.
+
+    Overlapping chunks merge; chunks whose compressed-offset gap is at most
+    gap_bytes are bridged (the few extra records decoded in the gap are
+    dropped by the position join downstream, and one contiguous read beats
+    two seeks). This is the batched equivalent of the reference's
+    per-variant fetch (/root/reference/src/main.rs:822-826)."""
+    allc = sorted(c for lst in chunk_lists for c in lst)
+    merged = []
+    for cb, ce in allc:
+        if merged:
+            pb, pe = merged[-1]
+            if cb <= pe or ((cb >> 16) - (pe >> 16)) <= gap_bytes:
+                if ce > pe:
+                    merged[-1] = (pb, ce)
+                continue
+        merged.append((cb, ce))
+    return merged
+
+
+def plan_region_fetch(bam_path: str, loci, tid_by_name):
+    """Merged chunk plan for a set of (chrom, start, end) loci.
+
+    Returns (chunks list[(vbeg, vend)], covered_fraction) where
+    covered_fraction estimates the share of the compressed file the plan
+    decodes (the driver's density heuristic input), or (None, 1.0) when no
+    BAI/CSI index is readable."""
+    import os
+
+    bai, csi = bam_path + ".bai", bam_path + ".csi"
+    try:
+        if os.path.exists(bai):
+            idx = BaiIndex(bai)
+        elif os.path.exists(csi):
+            idx = CsiIndex(csi)
+        else:
+            return None, 1.0
+    except Exception:
+        return None, 1.0
+    lists = []
+    for chrom, start, end in loci:
+        tid = tid_by_name.get(chrom)
+        if tid is None:
+            continue  # validation rejects unknown chroms before this
+        lists.append(idx.chunks_for_region(tid, start, end))
+    merged = merge_chunk_lists(lists)
+    # decoded compressed bytes ~= chunk spans + one trailing block each
+    # (typical BGZF block is 10-25KB compressed; 16KB is a fair estimate)
+    covered = sum(((ce >> 16) - (cb >> 16) + 16384) for cb, ce in merged)
+    frac = covered / max(os.path.getsize(bam_path), 1)
+    return merged, min(frac, 1.0)
+
+
+class RegionStream:
+    """BamReader-compatible record stream that decodes ONLY the blocks a
+    merged chunk plan touches — the pure-Python host path's region-fetch
+    mode (native path: gio_bam_load_regions)."""
+
+    def __init__(self, bam_path: str, chunks):
+        self._r = IndexedBamReader(bam_path)
+        self._chunks = chunks
+        self.ref_names = self._r.ref_names
+        self.ref_lens = self._r.ref_lens
+        self.tid_by_name = self._r.tid_by_name
+
+    def close(self):
+        self._r.close()
+
+    def records(self) -> Iterator[BamRecord]:
+        for cb, ce in self._chunks:
+            yield from self._r._records_in_chunk(cb, ce)

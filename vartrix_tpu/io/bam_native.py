@@ -35,6 +35,13 @@ def get_lib() -> ctypes.CDLL:
         vp = ctypes.c_void_p
         lib.gio_bam_load.restype = vp
         lib.gio_bam_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+        try:  # region loader (absent in pre-existing .so builds)
+            lib.gio_bam_load_regions.restype = vp
+            lib.gio_bam_load_regions.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+        except AttributeError:
+            pass
         lib.gio_bam_free.argtypes = [vp]
         lib.gio_bam_error.restype = ctypes.c_char_p
         lib.gio_bam_error.argtypes = [vp]
@@ -175,14 +182,28 @@ def native_available() -> bool:
 
 
 class ColumnarBam:
-    """Columnar view of a fully-decoded BAM."""
+    """Columnar view of a decoded BAM — the whole file, or (with `chunks`,
+    an [n, 2] array of BAI/CSI virtual-offset ranges) only the records the
+    indexed region plan touches, with memory bounded by the plan instead
+    of the file size."""
 
-    def __init__(self, path: str, cb_tag: bytes = b"CB", n_threads: int = 0):
+    def __init__(self, path: str, cb_tag: bytes = b"CB", n_threads: int = 0,
+                 chunks=None):
         lib = get_lib()
         if n_threads <= 0:
             n_threads = os.cpu_count() or 1
         self._lib = lib
-        self._h = lib.gio_bam_load(path.encode(), cb_tag, n_threads)
+        if chunks is not None:
+            if not hasattr(lib, "gio_bam_load_regions"):
+                raise RuntimeError("libgenomio predates gio_bam_load_regions; "
+                                   "rebuild with native/build.sh")
+            c = np.ascontiguousarray(chunks, dtype=np.int64).reshape(-1, 2)
+            self._h = lib.gio_bam_load_regions(
+                path.encode(), cb_tag, n_threads,
+                c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.c_int64(len(c)))
+        else:
+            self._h = lib.gio_bam_load(path.encode(), cb_tag, n_threads)
         err = lib.gio_bam_error(self._h)
         if err:
             raise IOError(f"{path}: {err.decode()}")
@@ -196,8 +217,9 @@ class ColumnarBam:
 
         def arr(name, count):
             if count == 0:
-                return np.zeros(0, dtype=np.ctypeslib.as_array(
-                    getattr(lib, name)(self._h), (1,)).dtype)
+                # never dereference (possibly-NULL) empty buffers
+                ct = getattr(lib, name).restype._type_
+                return np.zeros(0, dtype=np.dtype(ct))
             return np.ctypeslib.as_array(getattr(lib, name)(self._h), (count,))
 
         self.tid = arr("gio_bam_tid", n)

@@ -96,32 +96,133 @@ def encode_record(
     return struct.pack("<i", len(body)) + body
 
 
+def _rec_span(rec: bytes) -> Tuple[int, int, int]:
+    """(tid, pos, end) of an encoded record (end = pos + ref-consumed
+    CIGAR length, min 1 — htslib placement semantics)."""
+    tid, pos = struct.unpack_from("<ii", rec, 4)
+    l_read_name = rec[4 + 8]
+    n_cigar = struct.unpack_from("<H", rec, 4 + 12)[0]
+    off = 4 + 32 + l_read_name
+    ref_len = 0
+    for k in range(n_cigar):
+        v = struct.unpack_from("<I", rec, off + 4 * k)[0]
+        if (v & 0xF) in (0, 2, 3, 7, 8):
+            ref_len += v >> 4
+    return tid, pos, pos + max(ref_len, 1)
+
+
+def _reg2bin(b: int, e: int) -> int:
+    e -= 1
+    if b >> 14 == e >> 14:
+        return ((1 << 15) - 1) // 7 + (b >> 14)
+    if b >> 17 == e >> 17:
+        return ((1 << 12) - 1) // 7 + (b >> 17)
+    if b >> 20 == e >> 20:
+        return ((1 << 9) - 1) // 7 + (b >> 20)
+    if b >> 23 == e >> 23:
+        return ((1 << 6) - 1) // 7 + (b >> 23)
+    if b >> 26 == e >> 26:
+        return ((1 << 3) - 1) // 7 + (b >> 26)
+    return 0
+
+
 def write_bam(
     path: str,
     refs: List[Tuple[str, int]],
     records: Iterable[bytes],
-    write_fake_bai: bool = True,
+    write_index: bool = True,
 ) -> None:
-    """records: pre-encoded via encode_record, in coordinate order."""
+    """records: pre-encoded via encode_record, in coordinate order.
+    Writes a REAL .bai alongside (bins + chunks + 16kb linear index) so
+    the indexed region-fetch path works on generated files exactly as on
+    htslib-indexed ones."""
     header_text = (
         b"@HD\tVN:1.6\tSO:coordinate\n"
         + b"".join(f"@SQ\tSN:{n}\tLN:{l}\n".encode() for n, l in refs)
     )
-    data = b"BAM\x01" + struct.pack("<i", len(header_text)) + header_text
-    data += struct.pack("<i", len(refs))
+    head = b"BAM\x01" + struct.pack("<i", len(header_text)) + header_text
+    head += struct.pack("<i", len(refs))
     for name, length in refs:
         nb = name.encode() + b"\x00"
-        data += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
-    data += b"".join(records)
+        head += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
+    recs = list(records)
+    stream = head + b"".join(recs)
+
+    # compress, tracking each block's compressed offset
+    step = 0xFF00
+    out = []
+    block_coff = []  # compressed offset of block holding stream[i*step:]
+    csum = 0
+    for i in range(0, len(stream), step) or [0]:
+        chunk = stream[i : i + step]
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        cdata = co.compress(chunk) + co.flush()
+        bsize = len(cdata) + 25 + 1
+        block = (
+            b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+            + struct.pack("<H", 6) + b"BC" + struct.pack("<H", 2)
+            + struct.pack("<H", bsize - 1)
+            + cdata + struct.pack("<II", zlib.crc32(chunk), len(chunk))
+        )
+        block_coff.append(csum)
+        out.append(block)
+        csum += len(block)
+    if not stream:
+        out, block_coff = [], [0]
+    eof_coff = csum
+    out.append(BGZF_EOF)
     with open(path, "wb") as f:
-        f.write(bgzf_compress(data))
-    if write_fake_bai:
-        # minimal structurally-valid BAI (no bins, no intervals per ref);
-        # our own reader does sequential scans, the index file just has to
-        # exist/parse (reference behavior only checks existence,
-        # src/main.rs:520-529)
-        with open(path + ".bai", "wb") as f:
-            f.write(b"BAI\x01" + struct.pack("<i", len(refs)))
-            for _ in refs:
-                f.write(struct.pack("<i", 0))  # n_bin
-                f.write(struct.pack("<i", 0))  # n_intv
+        f.write(b"".join(out))
+    if not write_index:
+        return
+
+    def voff(u: int) -> int:
+        if u >= len(stream):
+            return eof_coff << 16
+        return (block_coff[u // step] << 16) | (u % step)
+
+    # per-ref bins {bin: [(vbeg, vend)]} and 16kb linear index
+    bins: List[dict] = [dict() for _ in refs]
+    intervals: List[List[int]] = [[] for _ in refs]
+    u = len(head)
+    for rec in recs:
+        vbeg, vend = voff(u), voff(u + len(rec))
+        u += len(rec)
+        tid, pos, end = _rec_span(rec)
+        if tid < 0 or tid >= len(refs):
+            continue
+        b = _reg2bin(pos, end)
+        chunks = bins[tid].setdefault(b, [])
+        if chunks and chunks[-1][1] == vbeg:
+            chunks[-1] = (chunks[-1][0], vend)
+        else:
+            chunks.append((vbeg, vend))
+        iv = intervals[tid]
+        for w in range(pos >> 14, ((end - 1) >> 14) + 1):
+            while len(iv) <= w:
+                iv.append(0)
+            if iv[w] == 0 or vbeg < iv[w]:
+                iv[w] = vbeg
+    parts = [b"BAI\x01", struct.pack("<i", len(refs))]
+    for tid in range(len(refs)):
+        bd = bins[tid]
+        parts.append(struct.pack("<i", len(bd)))
+        for b in sorted(bd):
+            chunks = bd[b]
+            parts.append(struct.pack("<Ii", b, len(chunks)))
+            for cb, ce in chunks:
+                parts.append(struct.pack("<QQ", cb, ce))
+        iv = intervals[tid]
+        # fill linear-index gaps with the previous value (htslib practice;
+        # improves min-offset pruning for empty windows)
+        last = 0
+        for w in range(len(iv)):
+            if iv[w] == 0:
+                iv[w] = last
+            else:
+                last = iv[w]
+        parts.append(struct.pack("<i", len(iv)))
+        for v in iv:
+            parts.append(struct.pack("<Q", v))
+    with open(path + ".bai", "wb") as f:
+        f.write(b"".join(parts))

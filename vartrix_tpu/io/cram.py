@@ -1356,4 +1356,4 @@ def transcode_to_bam(cram_path: str, out_bam: str,
             qname=rec.qname, flag=rec.flag, tid=rec.tid, pos=rec.pos,
             mapq=rec.mapq, cigar=rec.cigar, seq=rec.seq_bytes(), tags=tags))
     write_bam(out_bam, list(zip(cr.ref_names, cr.ref_lens)), encoded,
-              write_fake_bai=False)
+              write_index=False)

@@ -32,6 +32,10 @@ class SynthConfig:
     max_indel: int = 8
     umi: bool = True
     seed: int = 0
+    # uniform genome-wide coverage reads that mostly DON'T touch variants —
+    # models whole-genome BAMs with sparse VCFs (the indexed region-fetch
+    # scenario; the reference's per-variant bam.fetch never decodes these)
+    background_reads: int = 0
 
 
 def generate_dataset(outdir: str, cfg: SynthConfig) -> dict:
@@ -177,6 +181,31 @@ def generate_dataset(outdir: str, cfg: SynthConfig) -> dict:
             )
             records_by_coord.append((ci, map_pos, rec))
             read_id += 1
+
+    for _ in range(cfg.background_reads):
+        ci = int(rng.integers(0, cfg.n_chroms))
+        g = genome[chroms[ci]]
+        map_pos = int(rng.integers(0, cfg.chrom_len - cfg.read_len))
+        seq = g[map_pos : map_pos + cfg.read_len].copy()
+        errs = rng.random(len(seq)) < cfg.error_rate
+        if errs.any():
+            seq[errs] = rng.choice(BASES, int(errs.sum()))
+        cell = int(rng.integers(0, cfg.n_cells))
+        tags = [(b"CB", barcodes[cell].encode())]
+        if cfg.umi:
+            tags.append((b"UB", rng.choice(BASES, 10).astype(np.uint8).tobytes()))
+        rec = encode_record(
+            qname=f"r{read_id}".encode(),
+            flag=16 if rng.random() < 0.5 else 0,
+            tid=ci,
+            pos=map_pos,
+            mapq=int(rng.integers(0, 61)),
+            cigar=[(0, len(seq))],
+            seq=seq.tobytes(),
+            tags=tags,
+        )
+        records_by_coord.append((ci, map_pos, rec))
+        read_id += 1
 
     records_by_coord.sort(key=lambda t: (t[0], t[1]))
     bam_path = os.path.join(outdir, "reads.bam")
