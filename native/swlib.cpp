@@ -151,6 +151,163 @@ int32_t banded_sw(const uint8_t* x, int32_t lx, const uint8_t* y, int32_t ly,
   return best;
 }
 
+// Banded SW with rust-bio pairwise::banded's band-construction SHAPE:
+// k-mer matches between x and y are CHAINED with a sparse DP (kmer score
+// minus gap penalties between consecutive chain anchors, the sdpkpp
+// approach), the best chain's anchors get a diagonal band of half-width w,
+// consecutive anchors are connected by boxes, and the band is extended
+// from the first/last anchor toward the corners (local alignments may
+// start/end off-chain). The DP then runs over the per-row column interval
+// this construction induces (a monotone chain keeps it an interval).
+// Cells outside the band read H=0 (equivalent to starting a new local
+// alignment at the band edge), so banded_score <= full_score always.
+int32_t banded_sw_chained(const uint8_t* x, int32_t lx, const uint8_t* y,
+                          int32_t ly, int k, int w) {
+  if (lx < k || ly < k) return full_sw(x, lx, y, ly);
+  // hash y k-mers
+  const int32_t ny = ly - k + 1;
+  static thread_local std::vector<uint64_t> keys;
+  static thread_local std::vector<int32_t> head, nxt;
+  int cap = 1;
+  while (cap < ny * 2) cap <<= 1;
+  keys.assign(cap, ~0ull);
+  head.assign(cap, -1);
+  nxt.assign(ny, -1);
+  auto hash_kmer = [&](const uint8_t* p) {
+    uint64_t h = 1469598103934665603ull;
+    for (int t = 0; t < k; ++t) { h ^= p[t]; h *= 1099511628211ull; }
+    return h;
+  };
+  for (int32_t j = 0; j < ny; ++j) {
+    uint64_t h = hash_kmer(y + j);
+    uint32_t slot = (uint32_t)h & (cap - 1);
+    while (keys[slot] != ~0ull && keys[slot] != h) slot = (slot + 1) & (cap - 1);
+    keys[slot] = h;
+    nxt[j] = head[slot];
+    head[slot] = j;
+  }
+  // collect matches (i, j), ordered by (i, j)
+  static thread_local std::vector<std::pair<int32_t, int32_t>> matches;
+  matches.clear();
+  for (int32_t i = 0; i + k <= lx; ++i) {
+    uint64_t h = hash_kmer(x + i);
+    uint32_t slot = (uint32_t)h & (cap - 1);
+    while (keys[slot] != ~0ull) {
+      if (keys[slot] == h) {
+        for (int32_t j = head[slot]; j != -1; j = nxt[j]) {
+          if (memcmp(x + i, y + j, k) == 0) matches.emplace_back(i, j);
+        }
+        break;
+      }
+      slot = (slot + 1) & (cap - 1);
+    }
+  }
+  if (matches.empty()) return 0;
+  std::sort(matches.begin(), matches.end());
+  // chain anchors with a sparse DP: score = k*MATCH per anchor minus an
+  // affine penalty for the (di, dj) jump between consecutive anchors
+  size_t m = matches.size();
+  static thread_local std::vector<int64_t> chain_sc;
+  static thread_local std::vector<int32_t> prev;
+  chain_sc.assign(m, 0);
+  prev.assign(m, -1);
+  int64_t best_sc = -1;
+  size_t best_i = 0;
+  // predecessor window caps the chain DP at O(m*W) on repeat-heavy pairs
+  const size_t MAX_PRED = 64;
+  for (size_t a = 0; a < m; ++a) {
+    chain_sc[a] = (int64_t)k * MATCH;
+    size_t seen = 0;
+    for (size_t b = a; b-- > 0 && seen < MAX_PRED;) {
+      ++seen;
+      if (matches[b].first >= matches[a].first ||
+          matches[b].second >= matches[a].second)
+        continue;
+      int64_t di = matches[a].first - matches[b].first;
+      int64_t dj = matches[a].second - matches[b].second;
+      int64_t gap = std::max(di, dj) - std::min(di, dj);
+      int64_t pen = gap > 0 ? -(GAP_OPEN + gap * GAP_EXTEND) : 0;
+      int64_t overlap = std::max<int64_t>(0, k - std::min(di, dj));
+      int64_t sc = chain_sc[b] + (int64_t)(k - overlap) * MATCH - pen;
+      if (sc > chain_sc[a]) { chain_sc[a] = sc; prev[a] = (int32_t)b; }
+    }
+    if (chain_sc[a] > best_sc) { best_sc = chain_sc[a]; best_i = a; }
+  }
+  // best chain path, front to back
+  static thread_local std::vector<std::pair<int32_t, int32_t>> path;
+  path.clear();
+  for (int32_t a = (int32_t)best_i; a != -1; a = prev[a])
+    path.push_back(matches[a]);
+  std::reverse(path.begin(), path.end());
+  // band: per-row [jlo, jhi) from anchor diagonals widened by w, boxes
+  // between consecutive anchors, and corner extensions at the ends
+  static thread_local std::vector<int32_t> jlo, jhi;
+  jlo.assign(lx, INT32_MAX);
+  jhi.assign(lx, INT32_MIN);
+  auto add_box = [&](int32_t i0, int32_t i1, int32_t j0, int32_t j1) {
+    i0 = std::max(0, i0); i1 = std::min(lx, i1);
+    j0 = std::max(0, j0); j1 = std::min(ly, j1);
+    for (int32_t r = i0; r < i1; ++r) {
+      jlo[r] = std::min(jlo[r], j0);
+      jhi[r] = std::max(jhi[r], j1);
+    }
+  };
+  auto add_diag = [&](int32_t i0, int32_t j0, int32_t len) {
+    for (int32_t t = -w; t < len + w; ++t) {
+      int32_t r = i0 + t;
+      if (r < 0 || r >= lx) continue;
+      jlo[r] = std::min(jlo[r], std::max(0, j0 + t - w));
+      jhi[r] = std::max(jhi[r], std::min(ly, j0 + t + w + 1));
+    }
+  };
+  for (size_t a = 0; a < path.size(); ++a) {
+    add_diag(path[a].first, path[a].second, k);
+    if (a + 1 < path.size()) {
+      // connect consecutive anchors with a box spanning their gap
+      add_box(path[a].first, path[a + 1].first + k,
+              path[a].second, path[a + 1].second + k);
+    }
+  }
+  // corner extensions: local alignment may extend beyond the chain along
+  // its diagonal — prepend/append diagonal runs to the matrix edges
+  {
+    int32_t i0 = path.front().first, j0 = path.front().second;
+    int32_t back = std::min(i0, j0);
+    add_diag(i0 - back, j0 - back, back);
+    int32_t i1 = path.back().first + k, j1 = path.back().second + k;
+    int32_t fwd = std::min(lx - i1, ly - j1);
+    add_diag(i1, j1, fwd);
+  }
+  // DP restricted to per-row intervals (same evaluation as banded_sw)
+  static thread_local std::vector<int32_t> H, F, Hd;
+  H.assign(ly + 1, 0);
+  F.assign(ly + 1, NEG);
+  Hd.assign(ly + 1, 0);
+  int32_t best = 0;
+  int32_t prev_lo = 0, prev_hi = 0;
+  for (int32_t i = 1; i <= lx; ++i) {
+    int32_t lo = jlo[i - 1], hi = jhi[i - 1];
+    if (lo >= hi) { prev_lo = 0; prev_hi = 0; continue; }
+    std::swap(H, Hd);
+    for (int32_t j = lo; j <= hi; ++j) {
+      if (j < prev_lo || j > prev_hi) { Hd[j] = 0; F[j] = NEG; }
+    }
+    if (lo > 0 && (lo - 1 < prev_lo || lo - 1 > prev_hi)) Hd[lo - 1] = 0;
+    int32_t h_prev = 0, e_row = NEG;
+    for (int32_t j = lo + 1; j <= hi; ++j) {
+      e_row = std::max(h_prev + GAP_OPEN + GAP_EXTEND, e_row + GAP_EXTEND);
+      F[j] = std::max(Hd[j] + GAP_OPEN + GAP_EXTEND, F[j] + GAP_EXTEND);
+      int32_t h = std::max({0, Hd[j - 1] + score(x[i - 1], y[j - 1]), e_row, F[j]});
+      H[j] = h;
+      h_prev = h;
+      best = std::max(best, h);
+    }
+    prev_lo = lo + 1;
+    prev_hi = hi;
+  }
+  return best;
+}
+
 template <typename F>
 void parallel_for(int64_t n, int n_threads, F&& body) {
   if (n_threads <= 1) {
@@ -192,6 +349,18 @@ void banded_sw_batch(const uint8_t* xs, const int64_t* x_off, const uint8_t* ys,
   parallel_for(n, n_threads, [&](int64_t i) {
     out[i] = banded_sw(xs + x_off[i], (int32_t)(x_off[i + 1] - x_off[i]),
                        ys + y_off[i], (int32_t)(y_off[i + 1] - y_off[i]), k, w);
+  });
+}
+
+// rust-bio-style chained-band variant (see banded_sw_chained above)
+void banded_sw_chained_batch(const uint8_t* xs, const int64_t* x_off,
+                             const uint8_t* ys, const int64_t* y_off,
+                             int64_t n, int32_t* out, int n_threads, int k,
+                             int w) {
+  parallel_for(n, n_threads, [&](int64_t i) {
+    out[i] = banded_sw_chained(
+        xs + x_off[i], (int32_t)(x_off[i + 1] - x_off[i]),
+        ys + y_off[i], (int32_t)(y_off[i + 1] - y_off[i]), k, w);
   });
 }
 

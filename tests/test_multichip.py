@@ -21,8 +21,10 @@ T = "/root/reference/test"
 
 @pytest.fixture(scope="module")
 def scrna_pairs():
-    """All (read, ref_hap, alt_hap, row, cell) pairs from the scRNA test
-    dataset, packed into fixed-shape arrays."""
+    """All pairs from the scRNA test dataset in the COMPACT protocol the
+    production mesh path ships: padded reads [N, lx] uint8, unique
+    haplotype matrix [2V, ly] uint8 (row 2v = ref hap, 2v+1 = alt hap),
+    per-pair ref/alt hap indices, rows, cells."""
     fasta = IndexedFasta(f"{T}/test.fa")
     bam = BamReader(f"{T}/test.bam")
     barcodes = load_barcodes(f"{T}/barcodes.tsv")
@@ -33,58 +35,84 @@ def scrna_pairs():
 
     lx = max(max((len(s) for s in w.read_seqs), default=1) for w in works)
     ly = max(max(len(w.rref), len(w.alt_hap), 1) for w in works)
-    xs, yr, ya, rows, cells = [], [], [], [], []
+    hap_mat = np.ones((2 * len(works), ly), np.uint8)
+    for w in works:
+        hap_mat[2 * w.row, : len(w.rref)] = np.frombuffer(w.rref, np.uint8)
+        hap_mat[2 * w.row + 1, : len(w.alt_hap)] = np.frombuffer(w.alt_hap, np.uint8)
+    xs, rows, cells = [], [], []
     for w in works:
         for seq, cell in zip(w.read_seqs, w.cell_indices):
-            x = np.zeros(lx, np.int32)
+            x = np.zeros(lx, np.uint8)
             x[: len(seq)] = np.frombuffer(seq, np.uint8)
-            r = np.ones(ly, np.int32)
-            r[: len(w.rref)] = np.frombuffer(w.rref, np.uint8)
-            a = np.ones(ly, np.int32)
-            a[: len(w.alt_hap)] = np.frombuffer(w.alt_hap, np.uint8)
-            xs.append(x); yr.append(r); ya.append(a)
-            rows.append(w.row); cells.append(cell)
-    return (np.array(xs), np.array(yr), np.array(ya),
-            np.array(rows, np.int32), np.array(cells, np.int32),
-            len(works), len(barcodes))
+            xs.append(x)
+            rows.append(w.row)
+            cells.append(cell)
+    rows = np.array(rows, np.int32)
+    return (np.array(xs, np.uint8), hap_mat, 2 * rows, 2 * rows + 1,
+            rows, np.array(cells, np.int32), len(works), len(barcodes))
 
 
-def test_sharded_step_matches_consensus_golden(scrna_pairs):
-    xs, yr, ya, rows, cells, n_rows, n_cells = scrna_pairs
-    n_dev = len(jax.devices())
-    assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
-    mesh = make_mesh()
-    valid = np.ones(len(xs), dtype=bool)
-    (xs_p, yr_p, ya_p, rows_p, cells_p, valid_p), _ = pad_to_multiple(
-        [xs, yr, ya, rows, cells, valid], n_dev * 8,
-        [0, 1, 1, 0, 0, False])
-    step = build_sharded_step(mesh, n_rows, n_cells)
-    counts, n_reads = step(xs_p, yr_p, ya_p, rows_p, cells_p, valid_p)
-    counts = np.asarray(counts)
-    assert int(np.asarray(n_reads)) == len(xs)
+def _pad_pairs(xs, ir, ia, rows, cells, valid, quantum):
+    return pad_to_multiple([xs, ir, ia, rows, cells, valid], quantum,
+                           [0, 0, 0, 0, 0, False])
 
-    values = np.asarray(device_agg.consensus_values(counts))
+
+def _golden_dense(n_rows, n_cells):
     golden = read_matrix_market(f"{T}/test_consensus.mtx")
     dense = np.zeros((n_rows, n_cells))
     for r, c, v in zip(golden.rows, golden.cols, golden.data):
         dense[r, c] = v
-    np.testing.assert_array_equal(values, dense)
+    return dense
+
+
+def test_sharded_step_matches_consensus_golden(scrna_pairs):
+    xs, hap_mat, ir, ia, rows, cells, n_rows, n_cells = scrna_pairs
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
+    mesh = make_mesh()
+    valid = np.ones(len(xs), dtype=bool)
+    (xs_p, ir_p, ia_p, rows_p, cells_p, valid_p), _ = _pad_pairs(
+        xs, ir, ia, rows, cells, valid, n_dev * 128)
+    step = build_sharded_step(mesh, n_rows, n_cells)
+    counts, n_reads = step(xs_p, hap_mat, ir_p, ia_p, rows_p, cells_p, valid_p)
+    counts = np.asarray(counts)
+    assert int(np.asarray(n_reads)) == len(xs)
+
+    values = np.asarray(device_agg.consensus_values(counts))
+    np.testing.assert_array_equal(values, _golden_dense(n_rows, n_cells))
+
+
+def test_sharded_step_weak_scaling_equality(scrna_pairs):
+    """1 -> 2 -> 8 devices: the Pallas mesh step's merged counts must be
+    identical at every mesh width (weak-scaling exactness)."""
+    xs, hap_mat, ir, ia, rows, cells, n_rows, n_cells = scrna_pairs
+    valid = np.ones(len(xs), dtype=bool)
+    results = []
+    for n_dev in (1, 2, 8):
+        mesh = make_mesh(n_dev)
+        (xs_p, ir_p, ia_p, rows_p, cells_p, valid_p), _ = _pad_pairs(
+            xs, ir, ia, rows, cells, valid, n_dev * 128)
+        step = build_sharded_step(mesh, n_rows, n_cells)
+        counts, _ = step(xs_p, hap_mat, ir_p, ia_p, rows_p, cells_p, valid_p)
+        results.append(np.asarray(counts))
+    np.testing.assert_array_equal(results[0], results[1])
+    np.testing.assert_array_equal(results[0], results[2])
+    values = np.asarray(device_agg.consensus_values(results[0]))
+    np.testing.assert_array_equal(values, _golden_dense(n_rows, n_cells))
 
 
 def test_sharded_step_invariant_to_pair_order(scrna_pairs):
-    xs, yr, ya, rows, cells, n_rows, n_cells = scrna_pairs
+    xs, hap_mat, ir, ia, rows, cells, n_rows, n_cells = scrna_pairs
     mesh = make_mesh()
     rng = np.random.default_rng(0)
     perm = rng.permutation(len(xs))
     valid = np.ones(len(xs), dtype=bool)
     step = build_sharded_step(mesh, n_rows, n_cells)
-    args1, _ = pad_to_multiple([xs, yr, ya, rows, cells, valid], 64,
-                               [0, 1, 1, 0, 0, False])
-    args2, _ = pad_to_multiple(
-        [xs[perm], yr[perm], ya[perm], rows[perm], cells[perm], valid],
-        64, [0, 1, 1, 0, 0, False])
-    c1, _ = step(*args1)
-    c2, _ = step(*args2)
+    args1, _ = _pad_pairs(xs, ir, ia, rows, cells, valid, 8 * 128)
+    args2, _ = _pad_pairs(xs[perm], ir[perm], ia[perm], rows[perm],
+                          cells[perm], valid, 8 * 128)
+    c1, _ = step(args1[0], hap_mat, *args1[1:])
+    c2, _ = step(args2[0], hap_mat, *args2[1:])
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
 
 

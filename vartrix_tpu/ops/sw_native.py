@@ -36,6 +36,12 @@ def get_lib() -> ctypes.CDLL:
         lib.full_sw_batch.argtypes = [u8p, i64p, u8p, i64p, ctypes.c_int64, i32p, ctypes.c_int]
         lib.banded_sw_batch.argtypes = [u8p, i64p, u8p, i64p, ctypes.c_int64, i32p,
                                         ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        try:  # absent in pre-existing .so builds
+            lib.banded_sw_chained_batch.argtypes = [
+                u8p, i64p, u8p, i64p, ctypes.c_int64, i32p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        except AttributeError:
+            pass
         _lib = lib
     return _lib
 
@@ -83,4 +89,14 @@ def full_sw_batch_native(xs: Sequence[bytes], ys: Sequence[bytes],
 def banded_sw_batch_native(xs: Sequence[bytes], ys: Sequence[bytes],
                            n_threads: int = 1, k: int = 6, w: int = 20) -> np.ndarray:
     return _run("banded_sw_batch", xs, ys, n_threads,
+                (ctypes.c_int(k), ctypes.c_int(w)))
+
+
+def banded_sw_chained_batch_native(xs: Sequence[bytes], ys: Sequence[bytes],
+                                   n_threads: int = 1, k: int = 6,
+                                   w: int = 20) -> np.ndarray:
+    """rust-bio-style banded scores: k-mer anchors chained by sparse DP,
+    band = widened best-chain path + connecting boxes + corner extensions
+    (native/swlib.cpp banded_sw_chained). Always <= full SW."""
+    return _run("banded_sw_chained_batch", xs, ys, n_threads,
                 (ctypes.c_int(k), ctypes.c_int(w)))

@@ -30,7 +30,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import device_agg
-from ..ops.sw_xla import sw_scores_jax
 
 AXIS = "shard"
 
@@ -42,11 +41,18 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs), (AXIS,))
 
 
-def _local_step(x, y_ref, y_alt, rows, cells, valid, *, n_rows, n_cells):
-    """Per-device shard computation: SW scores -> calls -> partial counts,
-    then a psum merge across the mesh."""
-    ref_scores = sw_scores_jax(x, y_ref)
-    alt_scores = sw_scores_jax(x, y_alt)
+def _local_step_pallas(x_u8, hap_mat, idx_ref, idx_alt, rows, cells, valid,
+                       *, n_rows, n_cells, lx, ly, interpret):
+    """Per-device shard computation on the PRODUCTION kernel path: the
+    compact-protocol Pallas wavefront (same code --mesh-devices runs,
+    ops/sw_pallas_v2._sw_compact) scores the shard's pairs against both
+    haplotypes, then calls -> partial counts -> psum merge."""
+    from ..ops.sw_pallas_v2 import _sw_compact
+
+    ref_scores = _sw_compact(x_u8, hap_mat, idx_ref, lx=lx, ly=ly,
+                             interpret=interpret)[0]
+    alt_scores = _sw_compact(x_u8, hap_mat, idx_alt, lx=lx, ly=ly,
+                             interpret=interpret)[0]
     calls = device_agg.calls_from_scores(ref_scores, alt_scores)
     counts = device_agg.count_block(calls, rows, cells, valid, n_rows, n_cells)
     counts = jax.lax.psum(counts, AXIS)
@@ -55,31 +61,48 @@ def _local_step(x, y_ref, y_alt, rows, cells, valid, *, n_rows, n_cells):
 
 
 def build_sharded_step(mesh: Mesh, n_rows: int, n_cells: int):
-    """Returns a jitted SPMD step:
+    """Returns a jitted SPMD step over the Pallas compact protocol:
 
-      step(x [B, Lx], y_ref [B, Ly], y_alt [B, Ly], rows [B], cells [B],
-           valid [B]) -> (counts [n_rows, n_cells, 4], n_reads scalar)
+      step(x [B, Lx] uint8 (pad 0), hap_mat [H, Ly] uint8 (pad 1),
+           idx_ref [B], idx_alt [B], rows [B], cells [B], valid [B])
+        -> (counts [n_rows, n_cells, 4], n_reads scalar)
 
-    Inputs are sharded on the batch axis; the output count block is
-    replicated (psum-merged). B must be divisible by the mesh size.
-    """
+    Pair arrays are sharded on the batch axis; the unique-haplotype matrix
+    is replicated; the count block psum-merges over ICI. B must split into
+    per-device multiples of 128 lanes. This is the same kernel + transfer
+    protocol the CLI --mesh-devices path runs (ops/sw_pallas_v2:make_mesh_scorer),
+    composed with the on-device aggregation (core/device_agg)."""
     from jax.experimental.shard_map import shard_map
 
-    fn = functools.partial(_local_step, n_rows=n_rows, n_cells=n_cells)
-    sharded = shard_map(
-        fn,
-        mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=(P(), P()),
-        check_rep=False,
-    )
-    jitted = jax.jit(sharded)
+    from ..ops.sw_pallas import _on_tpu
 
-    def step(x, y_ref, y_alt, rows, cells, valid):
-        args = [jnp.asarray(a) for a in (x, y_ref, y_alt, rows, cells, valid)]
-        shardings = [NamedSharding(mesh, P(AXIS))] * 6
-        args = [jax.device_put(a, s) for a, s in zip(args, shardings)]
-        return jitted(*args)
+    interpret = not _on_tpu()
+
+    @functools.partial(jax.jit, static_argnames=("lx", "ly"))
+    def jitted(x_u8, hap_mat, idx_ref, idx_alt, rows, cells, valid, *, lx, ly):
+        fn = functools.partial(_local_step_pallas, n_rows=n_rows,
+                               n_cells=n_cells, lx=lx, ly=ly,
+                               interpret=interpret)
+        sharded = shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+        return sharded(x_u8, hap_mat, idx_ref, idx_alt, rows, cells, valid)
+
+    def step(x_u8, hap_mat, idx_ref, idx_alt, rows, cells, valid):
+        lx = int(x_u8.shape[1])
+        ly = int(hap_mat.shape[1])
+        args = [jnp.asarray(a) for a in
+                (x_u8, idx_ref, idx_alt, rows, cells, valid)]
+        sh = NamedSharding(mesh, P(AXIS))
+        x_d = jax.device_put(args[0], sh)
+        rest = [jax.device_put(a, sh) for a in args[1:]]
+        hap_d = jax.device_put(jnp.asarray(hap_mat),
+                               NamedSharding(mesh, P()))
+        return jitted(x_d, hap_d, *rest, lx=lx, ly=ly)
 
     return step
 
