@@ -76,6 +76,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", choices=["auto", "tpu", "cpu", "xla"], default="auto",
                    help="Smith-Waterman scoring backend: Pallas TPU kernel, "
                         "NumPy CPU oracle, portable XLA, or auto-detect")
+    p.add_argument("--sw-mode", dest="sw_mode", choices=["full", "banded"],
+                   default="full",
+                   help="Alignment scoring: 'full' (exact unbanded SW — the "
+                        "default; strictly >= banded scores) or 'banded' "
+                        "(k-mer chained band, k=6 w=20, reproducing the "
+                        "reference tool's rust-bio banding behavior; runs "
+                        "on the threaded native CPU aligner). Divergence "
+                        "between the two concentrates in tandem-repeat "
+                        "loci — see PARITY.md")
     p.add_argument("--host", choices=["auto", "native", "python"], default="auto",
                    help="Host-side BAM runtime: native columnar decoder "
                         "(libgenomio C++) or pure-Python reference path")

@@ -210,6 +210,69 @@ def gather_reads(cbam: ColumnarBam, read_ids: np.ndarray, lx: int) -> np.ndarray
     return out
 
 
+def _score_all_pairs(
+    cbam: ColumnarBam,
+    works: List[VariantWork],
+    read_idx: List[np.ndarray],
+    pair_fn,
+    lx_quantum: int = 64,
+    ly_quantum: int = 64,
+) -> List[np.ndarray]:
+    """Read-pair scoring path: one task per (variant, read) carrying BOTH
+    haplotype indices. Each read is gathered ONCE and shipped ONCE (the
+    device repeats it against ref and alt), halving host gather volume and
+    host->device read traffic vs the per-(read,hap) task layout. Empty
+    haplotypes map to an all-pad row, which scores 0 exactly like the
+    empty-sequence convention."""
+    results = [np.zeros((len(r), 2), dtype=np.int32) for r in read_idx]
+    t_read_l, blocks = [], []   # (variant, flat_start, count)
+    cursor = 0
+    act = []
+    for wi, rids in enumerate(read_idx):
+        if len(rids) == 0:
+            continue
+        t_read_l.append(rids)
+        blocks.append((wi, cursor, len(rids)))
+        act.append(wi)
+        cursor += len(rids)
+    if not t_read_l:
+        return results
+    t_read = np.concatenate(t_read_l)
+    t_var = np.repeat(np.array(act, np.int64),
+                      [len(read_idx[i]) for i in act])
+
+    def q(v, quantum):
+        return np.maximum(quantum, -(-v // quantum) * quantum)
+
+    hap_len = np.array([max(len(w.rref), len(w.alt_hap)) for w in works],
+                       dtype=np.int64)
+    seq_lens = (cbam.seq_off[t_read + 1] - cbam.seq_off[t_read]).astype(np.int64)
+    qlx = q(seq_lens, lx_quantum)
+    qly = q(hap_len[t_var], ly_quantum)
+
+    scores_flat = np.zeros((len(t_read), 2), dtype=np.int32)
+    keys = qlx * (1 << 32) + qly
+    for key in np.unique(keys):
+        sel = np.nonzero(keys == key)[0]
+        lx = int(key >> 32)
+        ly = int(key & 0xFFFFFFFF)
+        uniq_v, v_inv = np.unique(t_var[sel], return_inverse=True)
+        hap_mat = np.ones((2 * len(uniq_v), ly), dtype=np.uint8)
+        for u, wi in enumerate(uniq_v.tolist()):
+            w = works[wi]
+            hap_mat[2 * u, : len(w.rref)] = np.frombuffer(w.rref, np.uint8)
+            hap_mat[2 * u + 1, : len(w.alt_hap)] = np.frombuffer(
+                w.alt_hap, np.uint8)
+        x = gather_reads(cbam, t_read[sel], lx)
+        idx_ref = (2 * v_inv).astype(np.int32)
+        idx_alt = (2 * v_inv + 1).astype(np.int32)
+        scores_flat[sel] = np.asarray(pair_fn(x, hap_mat, idx_ref, idx_alt),
+                                      dtype=np.int32)
+    for wi, start, count in blocks:
+        results[wi][:, :] = scores_flat[start : start + count]
+    return results
+
+
 def score_all_fast(
     cbam: ColumnarBam,
     works: List[VariantWork],
@@ -220,6 +283,10 @@ def score_all_fast(
 ) -> List[np.ndarray]:
     """Batched scoring of every (read, ref_hap) and (read, alt_hap) pair,
     bucketed by quantized shapes; returns per-variant [n, 2] int32."""
+    pair_fn = getattr(score_batch_fn, "pair", None)
+    if pair_fn is not None and os.environ.get("VARTRIX_PAIR", "1") != "0":
+        return _score_all_pairs(cbam, works, read_idx, pair_fn,
+                                lx_quantum, ly_quantum)
     def q(v: int, quantum: int) -> int:
         return max(quantum, ((v + quantum - 1) // quantum) * quantum)
 

@@ -149,8 +149,25 @@ def _native_host_available() -> bool:
         return False
 
 
-def _select_backend(name: str, n_threads: int = 1):
+def _select_backend(name: str, n_threads: int = 1, sw_mode: str = "full"):
     """Return score_batch_fn(x, y) -> scores for the requested backend."""
+    if sw_mode == "banded":
+        # reference-parity banding (rust-bio style k=6/w=20 chained band,
+        # src/main.rs:898-901) on the threaded native aligner
+        from .ops.sw_native import banded_sw_chained_batch_native, native_available
+        if not native_available():
+            log.error("--sw-mode banded requires the native CPU aligner "
+                      "(build with native/build.sh)")
+            sys.exit(1)
+        if name in ("tpu", "xla"):
+            log.error("--sw-mode banded runs on the native CPU aligner; "
+                      "ignoring --backend %s", name)
+
+        def banded(x, y, _nt=max(n_threads, 1)):
+            xs = [bytes(row[row != 0]) for row in np.asarray(x)]
+            ys = [bytes(row[row != 1]) for row in np.asarray(y)]
+            return banded_sw_chained_batch_native(xs, ys, _nt)
+        return banded
     if name == "cpu":
         # fastest exact CPU path: native threaded full SW when available
         # (validated against the NumPy oracle), else the oracle itself
@@ -289,7 +306,7 @@ def _main(argv: List[str]) -> None:
         elif args.fetch == "regions":
             log.error("--fetch regions requested but no usable BAM index")
             sys.exit(1)
-    if args.mesh_devices:
+    if args.mesh_devices and args.sw_mode == "full":
         from .ops.sw_pallas_v2 import make_mesh_scorer
         if args.backend not in ("auto", "tpu"):
             log.error("--mesh-devices uses the Pallas mesh scorer; "
@@ -299,7 +316,10 @@ def _main(argv: List[str]) -> None:
         log.info("Mesh scoring across %d local devices",
                  len(score_fn.mesh.devices))
     else:
-        score_fn = _select_backend(args.backend, args.threads)
+        if args.mesh_devices:
+            log.error("--mesh-devices is a full-SW device path; "
+                      "--sw-mode banded runs on the host aligner instead")
+        score_fn = _select_backend(args.backend, args.threads, args.sw_mode)
 
     if use_native:
         from .core import agg_numpy

@@ -300,7 +300,41 @@ class ColumnarBam:
 
     def ub_ids(self) -> np.ndarray:
         """Map each record's UB tag to a per-file unique id (-1 = absent).
-        Ids preserve equality, which is all the UMI grouping needs."""
-        counter = iter(range(1 << 62))
-        return self._unique_map(self.ub_off, self.ub_pool,
-                                lambda s: next(counter))
+        Ids preserve equality, which is all the UMI grouping needs — so no
+        Python-level per-value mapping is required: ids come straight from
+        vectorized hash-unique per length group (with byte-exact collision
+        repair), unlike cb_indices which must consult the barcode dict."""
+        off, pool = self.ub_off, self.ub_pool
+        n = len(off) - 1
+        out = np.full(n, -1, dtype=np.int64)
+        lens = np.diff(off)
+        base = 0
+        for L in np.unique(lens):
+            if L == 0:
+                continue
+            idx = np.nonzero(lens == L)[0]
+            gather = pool[off[idx][:, None] + np.arange(L, dtype=off.dtype)]
+            h = np.zeros(len(idx), dtype=np.uint64)
+            mul = np.uint64(1099511628211)
+            for j in range(L):
+                h = h * mul + gather[:, j]
+            uniq_h, first, inv = np.unique(h, return_index=True,
+                                           return_inverse=True)
+            ids = base + inv.astype(np.int64)
+            reps = gather[first]
+            collided = np.nonzero((reps[inv] != gather).any(axis=1))[0]
+            next_id = base + len(uniq_h)
+            if len(collided):
+                # exactness: distinct byte values that share a hash get
+                # fresh distinct ids (identical bytes share one)
+                memo: dict = {}
+                for k in collided.tolist():
+                    b = gather[k].tobytes()
+                    v = memo.get(b)
+                    if v is None:
+                        v = memo[b] = next_id
+                        next_id += 1
+                    ids[k] = v
+            out[idx] = ids
+            base = next_id
+        return out

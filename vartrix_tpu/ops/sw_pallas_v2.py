@@ -211,6 +211,62 @@ def sw_scores_compact2_tpu(x_mat: np.ndarray, x_idx: np.ndarray,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
+def _sw_compact_pairs(x_u8: jax.Array, hap_mat: jax.Array, idx2: jax.Array,
+                      *, lx: int, ly: int, interpret: bool,
+                      unroll: int = 2) -> jax.Array:
+    """Read-pair compact entry: each read ships ONCE ([R, lx] uint8) and is
+    scored against TWO haplotypes (idx2 [2R] = interleaved ref/alt hap
+    rows). The read duplication is a contiguous on-device repeat — halving
+    host gather volume and host->device read traffic vs shipping per-pair
+    rows, without the slow resident-matrix row gather of _sw_compact2."""
+    pad_top = unroll - 1
+    x2 = jnp.repeat(x_u8, 2, axis=0)                 # [2R, lx] contiguous
+    x_t = x2.astype(jnp.int32).T
+    y = hap_mat[idx2]                                # [2R, ly] uint8
+    yrev = jnp.flip(y, axis=1).astype(jnp.int32).T
+    B = idx2.shape[0]
+    ybuf = jnp.full((pad_top + 2 * lx + ly, B), 1, jnp.int32)
+    ybuf = ybuf.at[pad_top + lx : pad_top + lx + ly].set(yrev)
+    return _sw_pallas_v2(x_t, ybuf, lx=lx, ly=ly, interpret=interpret,
+                         unroll=unroll)
+
+
+def sw_scores_pair_tpu(x: np.ndarray, hap_mat: np.ndarray,
+                       idx_ref: np.ndarray, idx_alt: np.ndarray,
+                       unroll: int = 2) -> np.ndarray:
+    """x uint8 [R, Lx] one row per READ (pad 0), hap_mat uint8 [H, Ly]
+    (pad 1), idx_ref/idx_alt int32 [R] -> int32 [R, 2] (ref, alt) scores.
+    Chunked like the other entries; each chunk ships R read rows and
+    scores 2R pairs."""
+    R, lx = x.shape
+    ly = hap_mat.shape[1]
+    interpret = not _on_tpu()
+    hap_dev = jnp.asarray(hap_mat)
+    out = np.empty((R, 2), dtype=np.int32)
+    results, spans = [], []
+    half = CHUNK // 2
+    start = 0
+    while start < R:
+        n = min(half, R - start)
+        bp = max(_quantized_batch(2 * n) // 2, LANES // 2)
+        xc = np.zeros((bp, lx), dtype=np.uint8)
+        xc[:n] = x[start : start + n]
+        idx2 = np.zeros(2 * bp, dtype=np.int32)
+        idx2[0 : 2 * n : 2] = idx_ref[start : start + n]
+        idx2[1 : 2 * n : 2] = idx_alt[start : start + n]
+        results.append(_sw_compact_pairs(jnp.asarray(xc), hap_dev,
+                                         jnp.asarray(idx2), lx=lx, ly=ly,
+                                         interpret=interpret, unroll=unroll))
+        spans.append((start, n))
+        start += n
+    for r, (s, n) in zip(results, spans):
+        block = np.asarray(r)[0, : 2 * n]
+        out[s : s + n, 0] = block[0::2]
+        out[s : s + n, 1] = block[1::2]
+    return out
+
+
 def sw_scores_compact_tpu(x: np.ndarray, hap_mat: np.ndarray,
                           hap_idx: np.ndarray, unroll: int = 2) -> np.ndarray:
     """x uint8 [B, Lx] (pad 0), hap_mat uint8 [H, Ly] (pad 1),
@@ -282,6 +338,7 @@ def sw_scores_batch_tpu_v2(x: np.ndarray, y: np.ndarray,
 # advertise the compact protocols to the batching layer
 sw_scores_batch_tpu_v2.compact = sw_scores_compact_tpu
 sw_scores_batch_tpu_v2.compact2 = sw_scores_compact2_tpu
+sw_scores_batch_tpu_v2.pair = sw_scores_pair_tpu
 
 
 def make_mesh_scorer(n_devices: int = 0, unroll: int = 2):
