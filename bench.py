@@ -103,7 +103,12 @@ def bench_cpu_baseline(n_pairs=20000):
     return aps
 
 
-def bench_e2e(backend: str):
+def bench_e2e():
+    """North-star e2e comparison (BASELINE.md): the full TPU pipeline vs a
+    full CPU pipeline standing in for multi-threaded vartrix — same
+    workload, all host cores, reference-style banded scoring (banded is
+    FASTER than full SW on CPU, so the ratio is conservative). Returns
+    (tpu_rps, cpu_rps)."""
     import tempfile
 
     from vartrix_tpu.driver import _main
@@ -113,24 +118,35 @@ def bench_e2e(backend: str):
     cfg = SynthConfig(n_variants=500, n_cells=2000, reads_per_variant=200,
                       seed=7)
     info = generate_dataset(d, cfg)
-    rps = 0.0
-    for trial in ("cold", "warm"):
-        out = os.path.join(d, f"out_{trial}.mtx")
-        t0 = time.time()
-        _main(["-v", info["vcf"], "-b", info["bam"], "-f", info["fasta"],
-               "-c", info["barcodes"], "-o", out, "--backend", backend])
-        dt = time.time() - t0
-        rps = info["n_reads"] / dt
-        log(f"e2e [{backend}, {trial}]: {info['n_reads']} reads in {dt:.1f}s "
-            f"-> {rps:.0f} reads/s")
-    return rps
+    nt = str(os.cpu_count() or 1)
+
+    def run(tag, extra):
+        rps = 0.0
+        for trial in ("cold", "warm"):
+            out = os.path.join(d, f"out_{tag}_{trial}.mtx")
+            t0 = time.time()
+            _main(["-v", info["vcf"], "-b", info["bam"], "-f", info["fasta"],
+                   "-c", info["barcodes"], "-o", out, "--threads", nt,
+                   *extra])
+            dt = time.time() - t0
+            rps = info["n_reads"] / dt
+            log(f"e2e [{tag}, {trial}]: {info['n_reads']} reads in {dt:.1f}s "
+                f"-> {rps:.0f} reads/s")
+        return rps
+
+    cpu_rps = run("cpu-banded", ["--sw-mode", "banded", "--backend", "cpu"])
+    tpu_rps = run("tpu", ["--backend", "tpu"])
+    if cpu_rps:
+        log(f"e2e TPU vs multi-threaded CPU banded pipeline: "
+            f"{tpu_rps / cpu_rps:.1f}x")
+    return tpu_rps, cpu_rps
 
 
 def main():
     value = bench_tpu_kernel()
     baseline = bench_cpu_baseline()
     try:
-        bench_e2e("tpu")
+        bench_e2e()
     except Exception as e:  # e2e context metric must not sink the bench
         log(f"e2e bench failed: {e}")
     vs = (value / baseline) if baseline else None

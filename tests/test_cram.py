@@ -158,6 +158,78 @@ def test_crai_invalid_index_falls_back(tmp_path):
     assert got == sum(1 for r in BamReader(f"{T}/test.bam").fetch("1", 0, 400))
 
 
+def test_crai_per_slice_entries(tmp_path):
+    """write_crai emits one htslib-layout line per (slice, ref): slice
+    offsets/sizes must tile each container's block region exactly."""
+    from vartrix_tpu.io.cram import (_cont_geometry, read_crai, write_crai)
+
+    b = BamReader(f"{T}/test.bam")
+    p = tmp_path / "s.cram"
+    write_cram(str(p), list(zip(b.ref_names, b.ref_lens)), b.records(),
+               records_per_container=400, fasta_path=f"{T}/test.fa")
+    write_crai(str(p), fasta_path=f"{T}/test.fa")
+    entries = read_crai(str(p) + ".crai")
+    cr = CramReader(str(p), f"{T}/test.fa")
+    by_cont = {}
+    for seq, start0, span, coff, soff, ssize in entries:
+        by_cont.setdefault(coff, []).append((soff, ssize))
+    assert set(by_cont) == set(cr.container_offsets())
+    for coff, slices in by_cont.items():
+        landmarks, _boff, length = _cont_geometry(cr._raw, coff)
+        # our writer: one slice per container; slice spans header->end
+        starts = sorted({s for s, _ in slices})
+        assert starts == landmarks
+        for soff, ssize in slices:
+            i = landmarks.index(soff)
+            end = landmarks[i + 1] if i + 1 < len(landmarks) else length
+            assert soff + ssize == end
+
+
+def test_cram_region_transcode_and_stream(tmp_path):
+    """containers_for_loci + region transcode: fewer records than the
+    file, and every read overlapping a locus present."""
+    from vartrix_tpu.io.cram import transcode_to_bam, write_crai
+
+    b = BamReader(f"{T}/test.bam")
+    p = tmp_path / "r.cram"
+    write_cram(str(p), list(zip(b.ref_names, b.ref_lens)), b.records(),
+               records_per_container=200, fasta_path=f"{T}/test.fa")
+    write_crai(str(p), fasta_path=f"{T}/test.fa")
+    cr = CramReader(str(p), f"{T}/test.fa")
+    loci = [("1", 195, 206)]
+    offs = cr.containers_for_loci(loci)
+    assert offs is not None and 0 < len(offs) < len(cr.container_offsets())
+    got = {(r.qname, r.pos) for r in cr.records_for_containers(offs)}
+    want = {(r.qname, r.pos) for r in b.fetch("1", 195, 206)}
+    assert want <= got  # superset stream; join filters by position
+    out = tmp_path / "sub.bam"
+    n = transcode_to_bam(str(p), str(out), f"{T}/test.fa", loci=loci)
+    assert n == len(got)
+    sub = {(r.qname, r.pos) for r in BamReader(str(out)).records()}
+    assert sub == got
+
+
+@pytest.mark.parametrize("host", ["native", "python"])
+def test_cram_region_pipeline_stays_golden(tmp_path, host):
+    """Full pipeline over CRAM with --fetch regions (index-selected
+    container decode) must stay golden-equal."""
+    from vartrix_tpu.driver import _main
+    from vartrix_tpu.io.cram import write_crai
+    from vartrix_tpu.io.matrix_market import read_matrix_market
+
+    b = BamReader(f"{T}/test.bam")
+    cram = tmp_path / "g.cram"
+    write_cram(str(cram), list(zip(b.ref_names, b.ref_lens)), b.records(),
+               records_per_container=250, fasta_path=f"{T}/test.fa")
+    write_crai(str(cram), fasta_path=f"{T}/test.fa")
+    out = tmp_path / f"o_{host}.mtx"
+    _main(["-v", f"{T}/test.vcf", "-b", str(cram), "-f", f"{T}/test.fa",
+           "-c", f"{T}/barcodes.tsv", "-o", str(out), "--backend", "cpu",
+           "--host", host, "--fetch", "regions"])
+    assert read_matrix_market(str(out)).to_canonical() == \
+        read_matrix_market(f"{T}/test_consensus.mtx").to_canonical()
+
+
 def test_cram_pipeline_with_real_crai_matches_golden(tmp_path):
     """End-to-end through the python host path with a genuine .crai: the
     per-variant fetch takes the indexed route and output stays golden."""

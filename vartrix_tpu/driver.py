@@ -289,10 +289,11 @@ def _main(argv: List[str]) -> None:
     # variant sets (sequential IO, parallel inflate); the region plan wins
     # — and bounds memory — when variants cover a small file fraction.
     fetch_chunks = None
+    fetch_loci = [(w.locus.chrom, w.locus.start, w.locus.end)
+                  for w in works if not w.skipped]
     if args.fetch != "whole" and not _is_cram(args.bam):
         from .io.bai import plan_region_fetch
-        loci = [(w.locus.chrom, w.locus.start, w.locus.end)
-                for w in works if not w.skipped]
+        loci = fetch_loci
         plan, frac = plan_region_fetch(args.bam, loci, bam.tid_by_name)
         if plan is not None and not plan and (args.fetch == "auto" or not loci):
             # an empty plan with live variants is indistinguishable from a
@@ -329,12 +330,19 @@ def _main(argv: List[str]) -> None:
         bam_path = args.bam
         if _is_cram(args.bam):
             # the columnar native decoder consumes BAM byte streams;
-            # transcode the CRAM once (decode cost is paid either way)
+            # transcode the CRAM once. With --fetch auto/regions and a
+            # valid .crai, only containers overlapping variant windows are
+            # decoded (the CRAM analog of the BAI region plan).
             import tempfile
             from .io.cram import transcode_to_bam
             tmp = tempfile.NamedTemporaryFile(suffix=".bam", delete=False)
             tmp.close()
-            transcode_to_bam(args.bam, tmp.name, args.fasta)
+            loci = fetch_loci if args.fetch != "whole" else None
+            n_rec = transcode_to_bam(args.bam, tmp.name, args.fasta,
+                                     loci=loci)
+            if loci is not None:
+                log.info("CRAM region transcode: %d records from "
+                         "index-selected containers", n_rec)
             bam_path = tmp.name
         with _phase("decode"):
             cbam = ColumnarBam(bam_path, pargs.bam_tag.encode(),
@@ -416,6 +424,20 @@ def _main(argv: List[str]) -> None:
     else:
         if _is_cram(args.bam):
             reads_src = bam  # CramReader decodes its own containers
+            if args.fetch != "whole":
+                offs = bam.containers_for_loci(fetch_loci)
+                if offs is not None:
+                    class _CramRegions:
+                        ref_names = bam.ref_names
+                        ref_lens = bam.ref_lens
+                        tid_by_name = bam.tid_by_name
+
+                        @staticmethod
+                        def records():
+                            return bam.records_for_containers(offs)
+                    reads_src = _CramRegions()
+                    log.info("CRAM fetch plan: %d of %d containers",
+                             len(offs), len(bam.container_offsets()))
         elif fetch_chunks is not None:
             from .io.bai import RegionStream
             reads_src = RegionStream(args.bam, fetch_chunks)

@@ -785,41 +785,76 @@ def _cont_geometry(raw: bytes, off: int):
     return landmarks, hoff, length
 
 
+def _slice_headers(raw: bytes, off: int):
+    """Per-slice geometry + header fields of the container at `off`:
+    [(s_ref, s_start1, s_span, s_nrec, slice_offset, slice_size)], where
+    slice_offset is relative to the blocks region (htslib .crai column 5)
+    and slice_size spans the slice header block through its last data
+    block (column 6)."""
+    landmarks, boff, length = _cont_geometry(raw, off)
+    blocks_len = length  # container `length` counts the block-region bytes
+    out = []
+    for i, lm in enumerate(landmarks):
+        end = landmarks[i + 1] if i + 1 < len(landmarks) else blocks_len
+        blk, _ = read_block(raw, boff + lm)
+        if blk.content_type != CT_SLICE_HEADER:
+            continue
+        sh = blk.data
+        p = 0
+        s_ref, p = read_itf8(sh, p)
+        s_start, p = read_itf8(sh, p)
+        s_span, p = read_itf8(sh, p)
+        s_nrec, p = read_itf8(sh, p)
+        out.append((s_ref, s_start, s_span, s_nrec, lm, end - lm))
+    return out
+
+
 def write_crai(cram_path: str, crai_path: Optional[str] = None,
                fasta_path: Optional[str] = None) -> str:
-    """Build a .crai for a CRAM file by decoding it (one index line per
-    (container, reference) with the min-start/span of its records; htslib
-    expands multi-ref slices the same way). Our writer emits one slice per
-    container, so slice_offset/slice_size are exact for files we wrote.
-    LIMITATION: for a foreign multi-slice container every entry carries the
-    FIRST slice's offset/size (our own fetch only consults the container
-    offset, column 4, so region queries stay correct; htslib seeking by
-    slice columns would not)."""
+    """Build a .crai for a CRAM file (htslib layout: one gzipped TSV line
+    per (slice, reference) — seq_id, 1-based start, span, container
+    offset, slice offset within the block region, slice size). Single-ref
+    slices index straight from their slice headers (no record decode);
+    multi-ref slices (ref_id == -2) are expanded per reference by decoding
+    the container, the same way htslib does."""
     import gzip
     crai_path = crai_path or cram_path + ".crai"
     cr = CramReader(cram_path, fasta_path)
     lines = []
     for off in cr.container_offsets():
-        landmarks, _boff, block_bytes = _cont_geometry(cr._raw, off)
-        s_off = landmarks[0] if landmarks else 0
-        s_size = block_bytes - s_off
-        by_ref: Dict[int, list] = {}
-        for r in cr.container_records(off):
-            if r.tid < 0:
-                by_ref.setdefault(-1, [0, 0])
-                continue
-            e = r.endpos()
-            cur = by_ref.get(r.tid)
-            if cur is None:
-                by_ref[r.tid] = [r.pos, e]
+        headers = _slice_headers(cr._raw, off)
+        recs = None
+        pos = 0
+        for (s_ref, s_start, s_span, s_nrec, s_off, s_size) in headers:
+            if s_ref == -2:  # multi-ref slice: expand per reference
+                if recs is None:
+                    # pos stays cumulative over all earlier slices
+                    recs = list(cr.container_records(off))
+                sl = recs[pos : pos + s_nrec]
+                by_ref: Dict[int, list] = {}
+                for r in sl:
+                    if r.tid < 0:
+                        by_ref.setdefault(-1, [0, 0])
+                        continue
+                    e = r.endpos()
+                    cur = by_ref.get(r.tid)
+                    if cur is None:
+                        by_ref[r.tid] = [r.pos, e]
+                    else:
+                        cur[0] = min(cur[0], r.pos)
+                        cur[1] = max(cur[1], e)
+                for ref in sorted(by_ref):
+                    lo, hi = by_ref[ref]
+                    start1 = lo + 1 if ref >= 0 else 0
+                    span = max(hi - lo, 0) if ref >= 0 else 0
+                    lines.append(
+                        f"{ref}\t{start1}\t{span}\t{off}\t{s_off}\t{s_size}")
+            elif s_ref == -1:
+                lines.append(f"-1\t0\t0\t{off}\t{s_off}\t{s_size}")
             else:
-                cur[0] = min(cur[0], r.pos)
-                cur[1] = max(cur[1], e)
-        for ref in sorted(by_ref):
-            lo, hi = by_ref[ref]
-            start1 = lo + 1 if ref >= 0 else 0
-            span = max(hi - lo, 0) if ref >= 0 else 0
-            lines.append(f"{ref}\t{start1}\t{span}\t{off}\t{s_off}\t{s_size}")
+                lines.append(f"{s_ref}\t{s_start}\t{s_span}\t{off}\t{s_off}"
+                             f"\t{s_size}")
+            pos += s_nrec
     with gzip.open(crai_path, "wt") as f:
         f.write("\n".join(lines) + ("\n" if lines else ""))
     return crai_path
@@ -1042,6 +1077,32 @@ class CramReader:
         except Exception:
             self._crai = None
         return self._crai
+
+    def containers_for_loci(self, loci):
+        """Sorted offsets of containers whose .crai entries overlap ANY
+        (chrom, start, end) locus — the batched form of the reference's
+        per-variant fetch, for CRAM. None when no valid index exists."""
+        entries = self._load_crai()
+        if entries is None:
+            return None
+        wanted: Dict[int, list] = {}
+        for chrom, s, e in loci:
+            tid = self.tid_by_name.get(chrom)
+            if tid is not None:
+                wanted.setdefault(tid, []).append((s, e))
+        offs = set()
+        for seq, start0, span, coff, _soff, _ssize in entries:
+            for s, e in wanted.get(seq, ()):
+                if start0 < e and start0 + span > s:
+                    offs.add(coff)
+                    break
+        return sorted(offs)
+
+    def records_for_containers(self, offs):
+        """Records of the given containers, each decoded once, in file
+        order (a position-superset stream for downstream joins)."""
+        for off in offs:
+            yield from self.container_records(off)
 
     def fetch(self, chrom: str, start: int, end: int):
         """Region iteration. With a valid .crai, decodes only containers
@@ -1339,14 +1400,23 @@ def _write_data_container(chunk, counter, ref_fetch=None) -> bytes:
 
 
 def transcode_to_bam(cram_path: str, out_bam: str,
-                     fasta_path: Optional[str] = None) -> None:
+                     fasta_path: Optional[str] = None,
+                     loci=None) -> int:
     """Decode a CRAM and write an equivalent BAM (used to feed the native
-    columnar pipeline, which consumes BAM byte streams)."""
+    columnar pipeline, which consumes BAM byte streams). With `loci`
+    [(chrom, start, end)] and a valid .crai, only containers overlapping a
+    locus are decoded/written — the CRAM analog of the BAM region fetch.
+    Returns the number of records written."""
     from .bam_writer import encode_record, write_bam
 
     cr = CramReader(cram_path, fasta_path)
+    source = cr.records()
+    if loci is not None:
+        offs = cr.containers_for_loci(loci)
+        if offs is not None:
+            source = cr.records_for_containers(offs)
     encoded = []
-    for rec in cr.records():
+    for rec in source:
         tags = []
         for tag in (b"CB", b"UB"):
             v = rec.aux_string(tag)
@@ -1357,3 +1427,4 @@ def transcode_to_bam(cram_path: str, out_bam: str,
             mapq=rec.mapq, cigar=rec.cigar, seq=rec.seq_bytes(), tags=tags))
     write_bam(out_bam, list(zip(cr.ref_names, cr.ref_lens)), encoded,
               write_index=False)
+    return len(encoded)

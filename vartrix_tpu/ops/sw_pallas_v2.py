@@ -1,18 +1,23 @@
-"""Optimized Pallas SW kernel (v2).
+"""Optimized Pallas SW kernel (v2 wrapper plumbing, v4 recurrence).
 
-Same anti-diagonal wavefront as ops/sw_pallas.py with three optimizations:
+Same anti-diagonal wavefront as ops/sw_pallas.py with these optimizations
+(each validated by on-chip ablation, docs/KERNEL.md):
 
-  1. shared subterm: t = H(d-1) + GAP_OPEN+GAP_EXTEND feeds both E (gap
-     consuming y) and F (gap consuming x); F's shift is hoisted over the
-     max (shift commutes with elementwise max/add-constant), halving the
-     shifted operands;
+  1. SINGLE-ROLL recurrence (v4): the kernel carries a pre-shifted copy
+     of H alongside the unshifted one, so the vertical-gap F needs no
+     shift at all — F(d) = max(shift(H(d-1)) + open, F(d-1) + extend) is
+     computed directly from the carried shifted state, and the boundary
+     value that wraps into row 0 is <= -6, which can never beat the
+     local-alignment 0 floor (no row-0 select needed for F). One
+     pltpu.roll per diagonal (producing the next shifted H) instead of
+     two rolls + two selects.
   2. the per-diagonal y window is a dynamic sublane slice from a
      REVERSED, pad-extended y buffer (ybuf[t] = y[c+1-t]) instead of a
-     rolling window carried between iterations — removing a
-     loop-carried dependency;
-  3. two diagonals per loop iteration: state tiles are loaded/stored
-     once per pair of diagonals, and diagonal d+1 consumes d's
-     register-resident results.
+     rolling window carried between iterations — removing a loop-carried
+     dependency (a roll-carried ys variant measured 12% SLOWER).
+  3. eight diagonals per loop iteration: the six state tiles are
+     loaded/stored once per group and the running-best merge amortizes
+     8x (best-tracking measured ~12% of kernel time at unroll 2).
 
 Exactness is identical to v1 (same recurrence, same padding argument);
 parity is enforced by tests against the NumPy oracle.
@@ -31,12 +36,24 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import GAP_EXTEND, GAP_OPEN, MATCH, MISMATCH
 from .sw_pallas import LANES, NEG, _on_tpu
 
+# eight diagonals per state round-trip: measured fastest on-chip for the
+# single-roll recurrence (unroll sweep in docs/KERNEL.md)
+UNROLL_DEFAULT = 8
 
-def _sw_kernel_v2(x_ref, ybuf_ref, out_ref,
-                  hm1_ref, hm2_ref, e_ref, f_ref, best_ref,
-                  *, lx: int, ly: int, unroll: int = 2):
+
+def _sw_kernel_v4(x_ref, ybuf_ref, out_ref,
+                  hm1_ref, hsm1_ref, hsm2_ref, e_ref, f_ref, best_ref,
+                  *, lx: int, ly: int, unroll: int = UNROLL_DEFAULT):
     """x [lx, 128]; ybuf [YB, 128] with ybuf[t] = y[c+1-t] (c = lx+ly-2),
-    pad elsewhere; out [1, 128]."""
+    pad elsewhere; out [1, 128].
+
+    Single-roll recurrence. State carried between diagonals:
+      h_m1  = H(d-1)                   (unshifted; feeds E)
+      hs_m1 = shift_down(H(d-1), 0)    (feeds F and becomes hs_m2)
+      hs_m2 = shift_down(H(d-2), 0)    (feeds the match term)
+    F needs no shift: F(d)[i] = max(H(d-1)[i-1]+GOE, F(d-1)[i]+GE), and
+    shift_down(H)[0] = 0 makes F[0] <= -6 — never competitive with the
+    local-alignment 0 floor, so no boundary select either."""
     GOE = np.int32(GAP_OPEN + GAP_EXTEND)
     GE = np.int32(GAP_EXTEND)
 
@@ -44,11 +61,9 @@ def _sw_kernel_v2(x_ref, ybuf_ref, out_ref,
     zeros = x * np.int32(0)
     row0 = jax.lax.broadcasted_iota(jnp.int32, (lx, LANES), 0) == 0
 
-    def shift_down(v, fill):
-        return jnp.where(row0, fill, pltpu.roll(v, 1, axis=0))
-
     hm1_ref[:, :] = zeros
-    hm2_ref[:, :] = zeros
+    hsm1_ref[:, :] = zeros
+    hsm2_ref[:, :] = zeros
     e_ref[:, :] = zeros + NEG
     f_ref[:, :] = zeros + NEG
     best_ref[:, :] = zeros
@@ -61,33 +76,36 @@ def _sw_kernel_v2(x_ref, ybuf_ref, out_ref,
     c1 = lx + ly - 1 + pad_top
     n_grp = (lx + ly + unroll - 1) // unroll  # covers diagonals 0..lx+ly-2
 
-    def one_diag(d_off_base, k, h_m1, h_m2, e, f):
-        """Compute diagonal with window offset (d_off_base - k).
-        h_m1/h_m2/e/f are the previous two diagonals' register values."""
+    def one_diag(d_off_base, k, h_m1, hs_m1, hs_m2, e, f):
+        """Compute diagonal with window offset (d_off_base - k); inputs
+        are the previous diagonals' register values."""
         ys = ybuf_ref[pl.ds(d_off_base - k, lx), :]
         s = jnp.where(x == ys, np.int32(MATCH), np.int32(MISMATCH))
-        t = h_m1 + GOE
-        e_n = jnp.maximum(t, e + GE)
-        f_n = shift_down(jnp.maximum(t, f + GE), NEG)
-        h_n = jnp.maximum(jnp.maximum(shift_down(h_m2, np.int32(0)) + s, e_n),
+        e_n = jnp.maximum(h_m1 + GOE, e + GE)
+        f_n = jnp.maximum(hs_m1 + GOE, f + GE)
+        h_n = jnp.maximum(jnp.maximum(hs_m2 + s, e_n),
                           jnp.maximum(f_n, 0))
-        return h_n, e_n, f_n
+        hs_n = jnp.where(row0, np.int32(0), pltpu.roll(h_n, 1, axis=0))
+        return h_n, hs_n, e_n, f_n
 
     def body(p, _):
         # group of `unroll` diagonals starting at d = unroll*p;
         # state tiles are loaded/stored once per group
         base = c1 - unroll * p
         h_m1 = hm1_ref[:, :]
-        h_m2 = hm2_ref[:, :]
+        hs_m1 = hsm1_ref[:, :]
+        hs_m2 = hsm2_ref[:, :]
         e = e_ref[:, :]
         f = f_ref[:, :]
         hs = []
         for k in range(unroll):
-            h, e, f = one_diag(base, k, h_m1, h_m2, e, f)
-            h_m2, h_m1 = h_m1, h
+            h, hsh, e, f = one_diag(base, k, h_m1, hs_m1, hs_m2, e, f)
+            h_m1 = h
+            hs_m2, hs_m1 = hs_m1, hsh
             hs.append(h)
-        hm2_ref[:, :] = h_m2
         hm1_ref[:, :] = h_m1
+        hsm1_ref[:, :] = hs_m1
+        hsm2_ref[:, :] = hs_m2
         e_ref[:, :] = e
         f_ref[:, :] = f
         b = hs[0]
@@ -102,11 +120,11 @@ def _sw_kernel_v2(x_ref, ybuf_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
 def _sw_pallas_v2(x_t: jax.Array, ybuf_t: jax.Array, *, lx: int, ly: int,
-                  interpret: bool, unroll: int = 2) -> jax.Array:
+                  interpret: bool, unroll: int = UNROLL_DEFAULT) -> jax.Array:
     B = x_t.shape[1]
     yb = ybuf_t.shape[0]
     grid = (B // LANES,)
-    kernel = functools.partial(_sw_kernel_v2, lx=lx, ly=ly, unroll=unroll)
+    kernel = functools.partial(_sw_kernel_v4, lx=lx, ly=ly, unroll=unroll)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -116,7 +134,7 @@ def _sw_pallas_v2(x_t: jax.Array, ybuf_t: jax.Array, *, lx: int, ly: int,
         ],
         out_specs=pl.BlockSpec((1, LANES), lambda b: (0, b), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((lx, LANES), jnp.int32) for _ in range(5)],
+        scratch_shapes=[pltpu.VMEM((lx, LANES), jnp.int32) for _ in range(6)],
         cost_estimate=pl.CostEstimate(
             flops=2 * lx * ly * LANES, bytes_accessed=(lx + yb) * B * 4,
             transcendentals=0),
@@ -124,7 +142,7 @@ def _sw_pallas_v2(x_t: jax.Array, ybuf_t: jax.Array, *, lx: int, ly: int,
     )(x_t, ybuf_t)
 
 
-def make_ybuf(y: np.ndarray, lx: int, unroll: int = 2) -> np.ndarray:
+def make_ybuf(y: np.ndarray, lx: int, unroll: int = UNROLL_DEFAULT) -> np.ndarray:
     """Build the reversed window buffer with `unroll-1` extra leading pad
     rows: ybuf[pad_top + t] = y[(lx+ly-1) - t], PAD byte 1 elsewhere."""
     B, ly = y.shape
@@ -141,7 +159,7 @@ CHUNK = 32768  # fixed batch chunk so compiled shapes are workload-independent
 @functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
 def _sw_compact(x_u8: jax.Array, hap_mat: jax.Array, hap_idx: jax.Array,
                 *, lx: int, ly: int, interpret: bool,
-                unroll: int = 2) -> jax.Array:
+                unroll: int = UNROLL_DEFAULT) -> jax.Array:
     """Compact-transfer entry: x [B, lx] uint8, unique haplotypes
     [H, ly] uint8, per-pair hap index [B] int32. The int32 widening, the
     haplotype gather, the reversal and the window-buffer layout all happen
@@ -161,7 +179,7 @@ def _sw_compact(x_u8: jax.Array, hap_mat: jax.Array, hap_idx: jax.Array,
 @functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
 def _sw_compact2(x_mat: jax.Array, x_idx: jax.Array, hap_mat: jax.Array,
                  hap_idx: jax.Array, *, lx: int, ly: int, interpret: bool,
-                 unroll: int = 2) -> jax.Array:
+                 unroll: int = UNROLL_DEFAULT) -> jax.Array:
     """Fully-deduplicated compact entry: unique reads [R, lx] uint8 +
     per-pair read index, unique haplotypes [H, ly] uint8 + per-pair hap
     index. Both gathers run on device; with every read scored against a
@@ -180,7 +198,7 @@ def _sw_compact2(x_mat: jax.Array, x_idx: jax.Array, hap_mat: jax.Array,
 
 def sw_scores_compact2_tpu(x_mat: np.ndarray, x_idx: np.ndarray,
                            hap_mat: np.ndarray, hap_idx: np.ndarray,
-                           unroll: int = 2) -> np.ndarray:
+                           unroll: int = UNROLL_DEFAULT) -> np.ndarray:
     """x_mat uint8 [R, Lx] unique reads (pad 0), x_idx int32 [B],
     hap_mat uint8 [H, Ly] (pad 1), hap_idx int32 [B] -> int32 [B].
     x_mat/hap_mat are shipped to the device ONCE; pair chunks only carry
@@ -214,7 +232,7 @@ def sw_scores_compact2_tpu(x_mat: np.ndarray, x_idx: np.ndarray,
 @functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
 def _sw_compact_pairs(x_u8: jax.Array, hap_mat: jax.Array, idx2: jax.Array,
                       *, lx: int, ly: int, interpret: bool,
-                      unroll: int = 2) -> jax.Array:
+                      unroll: int = UNROLL_DEFAULT) -> jax.Array:
     """Read-pair compact entry: each read ships ONCE ([R, lx] uint8) and is
     scored against TWO haplotypes (idx2 [2R] = interleaved ref/alt hap
     rows). The read duplication is a contiguous on-device repeat — halving
@@ -234,7 +252,7 @@ def _sw_compact_pairs(x_u8: jax.Array, hap_mat: jax.Array, idx2: jax.Array,
 
 def sw_scores_pair_tpu(x: np.ndarray, hap_mat: np.ndarray,
                        idx_ref: np.ndarray, idx_alt: np.ndarray,
-                       unroll: int = 2) -> np.ndarray:
+                       unroll: int = UNROLL_DEFAULT) -> np.ndarray:
     """x uint8 [R, Lx] one row per READ (pad 0), hap_mat uint8 [H, Ly]
     (pad 1), idx_ref/idx_alt int32 [R] -> int32 [R, 2] (ref, alt) scores.
     Chunked like the other entries; each chunk ships R read rows and
@@ -268,7 +286,7 @@ def sw_scores_pair_tpu(x: np.ndarray, hap_mat: np.ndarray,
 
 
 def sw_scores_compact_tpu(x: np.ndarray, hap_mat: np.ndarray,
-                          hap_idx: np.ndarray, unroll: int = 2) -> np.ndarray:
+                          hap_idx: np.ndarray, unroll: int = UNROLL_DEFAULT) -> np.ndarray:
     """x uint8 [B, Lx] (pad 0), hap_mat uint8 [H, Ly] (pad 1),
     hap_idx int32 [B] -> int32 [B]. Chunked like sw_scores_batch_tpu_v2."""
     B, lx = x.shape
@@ -304,7 +322,7 @@ def _quantized_batch(n: int) -> int:
 
 
 def sw_scores_batch_tpu_v2(x: np.ndarray, y: np.ndarray,
-                           unroll: int = 2) -> np.ndarray:
+                           unroll: int = UNROLL_DEFAULT) -> np.ndarray:
     """Backend entry point (uint8 [B, Lx] / [B, Ly] -> int32 [B]).
 
     Batches are processed in fixed-size chunks (pow2-padded tail) so the
@@ -341,7 +359,7 @@ sw_scores_batch_tpu_v2.compact2 = sw_scores_compact2_tpu
 sw_scores_batch_tpu_v2.pair = sw_scores_pair_tpu
 
 
-def make_mesh_scorer(n_devices: int = 0, unroll: int = 2):
+def make_mesh_scorer(n_devices: int = 0, unroll: int = UNROLL_DEFAULT):
     """Score-batch function sharded over a 1-D device mesh: each device
     runs the Pallas wavefront kernel on its slice of the pair batch
     (shard_map over the batch axis; no collectives needed — scores are
