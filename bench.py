@@ -107,31 +107,40 @@ def bench_e2e():
     """North-star e2e comparison (BASELINE.md): the full TPU pipeline vs a
     full CPU pipeline standing in for multi-threaded vartrix — same
     workload, all host cores, reference-style banded scoring (banded is
-    FASTER than full SW on CPU, so the ratio is conservative). Returns
-    (tpu_rps, cpu_rps)."""
+    FASTER than full SW on CPU, so the ratio is conservative).
+
+    Protocol: each backend first runs a small WARM-UP dataset (absorbs
+    kernel compile and TPU-relay warm-up), then is timed on a larger
+    FRESH dataset — the relay caches identical computations, so re-timing
+    the same inputs would inflate the TPU number. spliced_frac=0.5 makes
+    the workload N-split-dominated like real 10x scRNA.
+    Returns (tpu_rps, cpu_rps)."""
     import tempfile
 
     from vartrix_tpu.driver import _main
     from vartrix_tpu.utils.synth import SynthConfig, generate_dataset
 
     d = tempfile.mkdtemp()
-    cfg = SynthConfig(n_variants=500, n_cells=2000, reads_per_variant=200,
-                      seed=7)
-    info = generate_dataset(d, cfg)
+    warm = generate_dataset(os.path.join(d, "w"), SynthConfig(
+        n_variants=100, n_cells=500, reads_per_variant=100, seed=3,
+        spliced_frac=0.5))
+    timed = generate_dataset(os.path.join(d, "t"), SynthConfig(
+        n_chroms=4, chrom_len=200_000, n_variants=1000, n_cells=2000,
+        reads_per_variant=500, seed=11, spliced_frac=0.5))
     nt = str(os.cpu_count() or 1)
 
     def run(tag, extra):
-        rps = 0.0
-        for trial in ("cold", "warm"):
-            out = os.path.join(d, f"out_{tag}_{trial}.mtx")
-            t0 = time.time()
-            _main(["-v", info["vcf"], "-b", info["bam"], "-f", info["fasta"],
-                   "-c", info["barcodes"], "-o", out, "--threads", nt,
-                   *extra])
-            dt = time.time() - t0
-            rps = info["n_reads"] / dt
-            log(f"e2e [{tag}, {trial}]: {info['n_reads']} reads in {dt:.1f}s "
-                f"-> {rps:.0f} reads/s")
+        _main(["-v", warm["vcf"], "-b", warm["bam"], "-f", warm["fasta"],
+               "-c", warm["barcodes"], "-o",
+               os.path.join(d, f"warm_{tag}.mtx"), "--threads", nt, *extra])
+        out = os.path.join(d, f"out_{tag}.mtx")
+        t0 = time.time()
+        _main(["-v", timed["vcf"], "-b", timed["bam"], "-f", timed["fasta"],
+               "-c", timed["barcodes"], "-o", out, "--threads", nt, *extra])
+        dt = time.time() - t0
+        rps = timed["n_reads"] / dt
+        log(f"e2e [{tag}, fresh-data]: {timed['n_reads']} reads in {dt:.1f}s "
+            f"-> {rps:.0f} reads/s")
         return rps
 
     cpu_rps = run("cpu-banded", ["--sw-mode", "banded", "--backend", "cpu"])

@@ -78,6 +78,25 @@ class TestBai:
         assert list(idx.fetch("c1", 500, 1000)) == []
         assert list(idx.fetch("c1", 0, 10)) == []  # ends before rec start
 
+    def test_build_bai_matches_htslib_index(self, tmp_path):
+        """build_bai (the `samtools index` capability) on the reference
+        BAM: fetches via our built index == via the bundled htslib .bai
+        == linear scan."""
+        import shutil
+        from vartrix_tpu.io.bai import build_bai
+        bam = tmp_path / "t.bam"
+        shutil.copy(f"{T}/test.bam", bam)
+        build_bai(str(bam))
+        ours = IndexedBamReader(str(bam))
+        theirs = IndexedBamReader(f"{T}/test.bam")
+        lin = BamReader(f"{T}/test.bam")
+        for chrom, s, e in [("1", 150, 250), ("17", 0, 400),
+                            ("2", 199, 200), ("7", 390, 400), ("1", 0, 1)]:
+            a = [(r.qname, r.pos) for r in ours.fetch(chrom, s, e)]
+            b = [(r.qname, r.pos) for r in theirs.fetch(chrom, s, e)]
+            c = [(r.qname, r.pos) for r in lin.fetch(chrom, s, e)]
+            assert a == b == c, (chrom, s, e)
+
     def test_written_index_matches_linear_scan(self, tmp_path):
         """Round-trip: synth dataset -> real .bai -> indexed fetch equals
         the whole-file linear scan on every variant window."""

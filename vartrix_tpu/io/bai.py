@@ -358,6 +358,140 @@ def plan_region_fetch(bam_path: str, loci, tid_by_name):
     return merged, min(frac, 1.0)
 
 
+def build_bai(bam_path: str, bai_path: str | None = None) -> str:
+    """Build a .bai for an arbitrary existing BAM (the `samtools index`
+    capability): stream the BGZF blocks once, track every record's virtual
+    offset and (tid, pos, end) from its fixed header + CIGAR, and emit
+    bins/chunks plus the 16kb linear index."""
+    import struct as _struct
+
+    from .bam import bgzf_decompress
+    from .bam_writer import _reg2bin
+
+    with open(bam_path, "rb") as f:
+        raw = f.read()
+    # walk physical blocks, recording (file_offset, uncompressed_offset)
+    blk_file_off = []
+    blk_u_off = []
+    pos = 0
+    total = 0
+    while pos + 28 <= len(raw):
+        if not (raw[pos] == 0x1F and raw[pos + 1] == 0x8B):
+            raise ValueError(f"{bam_path}: not BGZF at {pos}")
+        xlen = _struct.unpack_from("<H", raw, pos + 10)[0]
+        xoff, xend = pos + 12, pos + 12 + xlen
+        bsize = None
+        while xoff + 4 <= xend:
+            slen = _struct.unpack_from("<H", raw, xoff + 2)[0]
+            if raw[xoff] == 66 and raw[xoff + 1] == 67 and slen == 2:
+                bsize = _struct.unpack_from("<H", raw, xoff + 4)[0] + 1
+            xoff += 4 + slen
+        if bsize is None:
+            raise ValueError("BGZF block without BC subfield")
+        isize = _struct.unpack_from("<I", raw, pos + bsize - 4)[0]
+        blk_file_off.append(pos)
+        blk_u_off.append(total)
+        total += isize
+        pos += bsize
+    data = bgzf_decompress(raw)
+
+    def voff(u: int) -> int:
+        # binary search the block containing uncompressed offset u
+        import bisect
+        i = bisect.bisect_right(blk_u_off, u) - 1
+        return (blk_file_off[i] << 16) | (u - blk_u_off[i])
+
+    if data[:4] != b"BAM\x01":
+        raise ValueError(f"{bam_path}: not a BAM stream")
+    l_text = _struct.unpack_from("<i", data, 4)[0]
+    off = 8 + l_text
+    n_ref = _struct.unpack_from("<i", data, off)[0]
+    off += 4
+    for _ in range(n_ref):
+        l_name = _struct.unpack_from("<i", data, off)[0]
+        off += 8 + l_name
+    bins: List[Dict[int, List[Tuple[int, int]]]] = [dict() for _ in range(n_ref)]
+    intervals: List[List[int]] = [[] for _ in range(n_ref)]
+    n = len(data)
+    while off + 4 <= n:
+        bs = _struct.unpack_from("<i", data, off)[0]
+        if bs <= 0 or off + 4 + bs > n:
+            break
+        vbeg, vend = voff(off), voff(off + 4 + bs)
+        tid, p0 = _struct.unpack_from("<ii", data, off + 4)
+        l_read_name = data[off + 4 + 8]
+        n_cigar = _struct.unpack_from("<H", data, off + 4 + 12)[0]
+        coff = off + 4 + 32 + l_read_name
+        ref_len = 0
+        for k in range(n_cigar):
+            v = _struct.unpack_from("<I", data, coff + 4 * k)[0]
+            if (v & 0xF) in (0, 2, 3, 7, 8):
+                ref_len += v >> 4
+        off += 4 + bs
+        if tid < 0 or tid >= n_ref:
+            continue
+        end = p0 + max(ref_len, 1)
+        b = _reg2bin(p0, end)
+        chunks = bins[tid].setdefault(b, [])
+        if chunks and chunks[-1][1] == vbeg:
+            chunks[-1] = (chunks[-1][0], vend)
+        else:
+            chunks.append((vbeg, vend))
+        iv = intervals[tid]
+        for w in range(p0 >> 14, ((end - 1) >> 14) + 1):
+            while len(iv) <= w:
+                iv.append(0)
+            if iv[w] == 0 or vbeg < iv[w]:
+                iv[w] = vbeg
+    parts = [b"BAI\x01", struct.pack("<i", n_ref)]
+    for tid in range(n_ref):
+        bd = bins[tid]
+        parts.append(struct.pack("<i", len(bd)))
+        for b in sorted(bd):
+            chunks = bd[b]
+            parts.append(struct.pack("<Ii", b, len(chunks)))
+            for cb, ce in chunks:
+                parts.append(struct.pack("<QQ", cb, ce))
+        iv = intervals[tid]
+        last = 0
+        for w in range(len(iv)):
+            if iv[w] == 0:
+                iv[w] = last
+            else:
+                last = iv[w]
+        parts.append(struct.pack("<i", len(iv)))
+        for v in iv:
+            parts.append(struct.pack("<Q", v))
+    bai_path = bai_path or bam_path + ".bai"
+    with open(bai_path, "wb") as f:
+        f.write(b"".join(parts))
+    return bai_path
+
+
+def index_main(argv=None) -> None:
+    """CLI: vartrix-index FILE [...] — builds .bai for BAMs, .crai for
+    CRAMs (content-detected), like `samtools index`."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="vartrix-index",
+        description="Build a BAI (BAM) or CRAI (CRAM) index")
+    p.add_argument("files", nargs="+", help="BAM/CRAM files to index")
+    p.add_argument("-f", "--fasta", default=None,
+                   help="Reference FASTA (CRAM with reference-based "
+                        "compression only)")
+    args = p.parse_args(argv)
+    for path in args.files:
+        with open(path, "rb") as f:
+            magic = f.read(4)
+        if magic == b"CRAM":
+            from .cram import write_crai
+            out = write_crai(path, fasta_path=args.fasta)
+        else:
+            out = build_bai(path)
+        print(f"{path} -> {out}")
+
+
 class RegionStream:
     """BamReader-compatible record stream that decodes ONLY the blocks a
     merged chunk plan touches — the pure-Python host path's region-fetch

@@ -36,6 +36,10 @@ class SynthConfig:
     # models whole-genome BAMs with sparse VCFs (the indexed region-fetch
     # scenario; the reference's per-variant bam.fetch never decodes these)
     background_reads: int = 0
+    # fraction of variant reads whose CIGAR is N-split (spliced) — real
+    # 10x scRNA is dominated by these; they exercise the multi-interval
+    # useful-overlap path instead of the single-interval fast path
+    spliced_frac: float = 0.04
 
 
 def generate_dataset(outdir: str, cfg: SynthConfig) -> dict:
@@ -157,10 +161,10 @@ def generate_dataset(outdir: str, cfg: SynthConfig) -> dict:
                 sc = int(rng.integers(5, 20))
                 cigar = [(4, sc), (0, L - sc)]
                 map_pos += sc
-            elif r3 < 0.10 and L > 60:  # N-split (spliced) read
+            elif r3 < 0.06 + cfg.spliced_frac and L > 60:  # N-split (spliced)
                 a = int(rng.integers(20, L - 20))
                 cigar = [(0, a), (3, int(rng.integers(10, 50))), (0, L - a)]
-            elif r3 < 0.14 and L > 60:  # deletion in the alignment
+            elif r3 < 0.10 + cfg.spliced_frac and L > 60:  # deletion
                 a = int(rng.integers(20, L - 20))
                 cigar = [(0, a), (2, int(rng.integers(1, 6))), (0, L - a)]
             else:
