@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", dest="profile_dir", metavar="DIR", default=None,
                    help="Write a jax.profiler trace of the scoring phase to "
                         "this directory (view with TensorBoard/Perfetto)")
+    p.add_argument("--metrics-json", dest="metrics_json", metavar="FILE",
+                   default=None,
+                   help="Write run metrics as JSON: the 9 reference "
+                        "counters, per-phase wall-clock seconds, matrix "
+                        "nnz, and configuration")
     p.add_argument("--checkpoint-dir", dest="checkpoint_dir", metavar="DIR",
                    default=None,
                    help="Spill per-variant score blocks to this directory and "

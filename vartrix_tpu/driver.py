@@ -114,15 +114,21 @@ def write_variants(out_variants: str, vcf_file: str) -> None:
             f.write(f"{rec.chrom}_{rec.pos}\n")
 
 
+_PHASE_TIMES: Dict[str, float] = {}
+
+
 @contextmanager
 def _phase(name: str):
     """Wall-clock a pipeline stage at info level (SURVEY.md §5.1: the
-    reference keeps symbols for perf profiling; we report stage timings)."""
+    reference keeps symbols for perf profiling; we report stage timings
+    and collect them for --metrics-json)."""
     t0 = time.perf_counter()
     try:
         yield
     finally:
-        log.info("Phase %-12s %.2fs", name, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        _PHASE_TIMES[name] = _PHASE_TIMES.get(name, 0.0) + dt
+        log.info("Phase %-12s %.2fs", name, dt)
 
 
 def _maybe_profile(profile_dir: Optional[str]):
@@ -213,6 +219,7 @@ def _main(argv: List[str]) -> None:
         jax.config.update("jax_platforms", plat)
 
     args = build_parser().parse_args(argv)
+    _PHASE_TIMES.clear()  # fresh per run (tests call _main in-process)
 
     level = {"info": logging.INFO, "debug": logging.DEBUG, "error": logging.ERROR}[args.log_level]
     logging.basicConfig(level=level, stream=sys.stderr,
@@ -524,6 +531,26 @@ def _main(argv: List[str]) -> None:
     if matrix_sum == 0.0:
         log.error("The resulting matrix has a sum of 0. Did you use the --umi "
                   "flag on data without UMIs?")
+
+    if args.metrics_json:
+        import json
+        payload = {
+            "metrics": metrics.as_dict(),
+            "phase_seconds": {k: round(v, 4) for k, v in _PHASE_TIMES.items()},
+            "matrix": {"shape": list(matrix.shape), "nnz": matrix.nnz()},
+            "config": {
+                "scoring_method": args.scoring_method, "umi": args.umi,
+                "backend": args.backend, "host": ("native" if use_native
+                                                  else "python"),
+                "sw_mode": args.sw_mode, "fetch": args.fetch,
+                "threads": args.threads, "padding": args.padding,
+            },
+        }
+        if args.scoring_method == "coverage":
+            payload["ref_matrix_nnz"] = ref_matrix.nnz()
+        with open(args.metrics_json, "wt") as f:
+            json.dump(payload, f, indent=1)
+        log.debug("Wrote metrics JSON")
 
 
 def main() -> None:
