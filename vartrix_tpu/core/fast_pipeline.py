@@ -215,8 +215,8 @@ def _score_all_pairs(
     works: List[VariantWork],
     read_idx: List[np.ndarray],
     pair_fn,
-    lx_quantum: int = 64,
-    ly_quantum: int = 64,
+    lx_quantum: int = 16,
+    ly_quantum: int = 32,
 ) -> List[np.ndarray]:
     """Read-pair scoring path: one task per (variant, read) carrying BOTH
     haplotype indices. Each read is gathered ONCE and shipped ONCE (the
@@ -278,8 +278,8 @@ def score_all_fast(
     works: List[VariantWork],
     read_idx: List[np.ndarray],
     score_batch_fn,
-    lx_quantum: int = 64,
-    ly_quantum: int = 64,
+    lx_quantum: int = 16,
+    ly_quantum: int = 32,
 ) -> List[np.ndarray]:
     """Batched scoring of every (read, ref_hap) and (read, alt_hap) pair,
     bucketed by quantized shapes; returns per-variant [n, 2] int32."""

@@ -210,8 +210,8 @@ def collect_reads(
 def score_all(
     works: List[VariantWork],
     score_batch_fn,
-    lx_quantum: int = 64,
-    ly_quantum: int = 64,
+    lx_quantum: int = 16,
+    ly_quantum: int = 32,
 ) -> List[np.ndarray]:
     """Score every (read, ref_hap) and (read, alt_hap) pair.
 
