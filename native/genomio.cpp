@@ -373,6 +373,309 @@ GioBam* gio_bam_load(const char* path, const char* cb_tag, int n_threads) {
   return h;
 }
 
+// Streaming whole-file loader: identical output to gio_bam_load, but the
+// file is processed in bounded segments — read a batch of raw blocks,
+// inflate them in parallel, decode the complete records they contain into
+// the columnar arrays, carry partial-record bytes into the next segment,
+// release the segment. Peak memory is the columnar output plus ONE
+// segment, instead of raw file + fully-inflated stream + columns.
+GioBam* gio_bam_load_stream(const char* path, const char* cb_tag,
+                            int n_threads, int64_t segment_bytes) {
+  if (segment_bytes <= 0) segment_bytes = 256 << 20;
+  if (segment_bytes < (1 << 20)) segment_bytes = 1 << 20;  // >= max block
+  auto* h = new GioBam();
+  FILE* f = fopen(path, "rb");
+  if (!f) { h->error = "cannot open file"; return h; }
+
+  std::vector<uint8_t> raw(segment_bytes);
+  size_t raw_len = 0;    // valid bytes in raw
+  bool eof = false;
+  auto refill = [&]() {
+    if (eof) return;
+    size_t got = fread(raw.data() + raw_len, 1, raw.size() - raw_len, f);
+    raw_len += got;
+    if (got == 0) eof = true;
+  };
+  refill();
+
+  std::vector<uint8_t> data;   // inflated bytes carried across segments
+  size_t data_consumed = 0;    // bytes of `data` already decoded
+  bool header_done = false;
+  size_t expect_hdr = 12;      // grows as header fields arrive
+
+  // running columnar append state
+  std::vector<int32_t> seq_len, itv_cnt, cb_len, ub_len;
+  h->seq_off.push_back(0);
+  h->itv_off.push_back(0);
+  h->cb_off.push_back(0);
+  h->ub_off.push_back(0);
+
+  while (true) {
+    // --- inflate every complete block currently in raw ---
+    struct Blk { size_t src_off, src_len, dst_off, dst_len; };
+    std::vector<Blk> blocks;
+    size_t pos = 0;
+    size_t dst_base = data.size();
+    size_t add = 0;
+    while (pos + 28 <= raw_len) {
+      if (!(raw[pos] == 0x1f && raw[pos + 1] == 0x8b && raw[pos + 2] == 8 &&
+            (raw[pos + 3] & 4))) {
+        h->error = "not BGZF in stream";
+        fclose(f);
+        return h;
+      }
+      uint16_t xlen;
+      memcpy(&xlen, raw.data() + pos + 10, 2);
+      size_t xoff = pos + 12, xend = xoff + xlen;
+      if (xend > raw_len) break;
+      uint32_t bsize = 0;
+      while (xoff + 4 <= xend) {
+        uint16_t slen;
+        memcpy(&slen, raw.data() + xoff + 2, 2);
+        if (raw[xoff] == 'B' && raw[xoff + 1] == 'C' && slen == 2) {
+          uint16_t bs;
+          memcpy(&bs, raw.data() + xoff + 4, 2);
+          bsize = (uint32_t)bs + 1;
+        }
+        xoff += 4 + slen;
+      }
+      if (!bsize) { h->error = "missing BC subfield"; fclose(f); return h; }
+      if (pos + bsize > raw_len) break;  // incomplete block: next segment
+      uint32_t isize;
+      memcpy(&isize, raw.data() + pos + bsize - 4, 4);
+      blocks.push_back({xend, bsize - (xend - pos) - 8, dst_base + add, isize});
+      add += isize;
+      pos += bsize;
+    }
+    if (blocks.empty() && eof) break;
+    if (blocks.empty() && !eof) {
+      // block larger than remaining buffer space: compact + refill
+      if (pos == 0 && raw_len == raw.size()) {
+        h->error = "BGZF block larger than segment";
+        fclose(f);
+        return h;
+      }
+      memmove(raw.data(), raw.data() + pos, raw_len - pos);
+      raw_len -= pos;
+      refill();
+      continue;
+    }
+    data.resize(dst_base + add);
+    std::atomic<bool> ok(true);
+    parallel_chunks((int64_t)blocks.size(), n_threads,
+                    [&](int64_t lo, int64_t hi) {
+      for (int64_t b = lo; b < hi; ++b) {
+        const Blk& bl = blocks[b];
+        if (bl.dst_len == 0) continue;
+        if (!inflate_block(raw.data() + bl.src_off, bl.src_len,
+                           data.data() + bl.dst_off, bl.dst_len))
+          ok = false;
+      }
+    });
+    if (!ok) { h->error = "BGZF inflate failure"; fclose(f); return h; }
+    // slide leftover raw bytes to the front, refill for next round
+    memmove(raw.data(), raw.data() + pos, raw_len - pos);
+    raw_len -= pos;
+    refill();
+
+    // --- header (first segment(s)) ---
+    if (!header_done) {
+      if (data.size() < expect_hdr) continue;
+      if (memcmp(data.data(), "BAM\x01", 4) != 0) {
+        h->error = "not a BAM stream";
+        fclose(f);
+        return h;
+      }
+      int32_t l_text;
+      memcpy(&l_text, data.data() + 4, 4);
+      size_t off = 8 + (size_t)l_text;
+      if (data.size() < off + 4) { expect_hdr = off + 4; continue; }
+      int32_t n_ref;
+      memcpy(&n_ref, data.data() + off, 4);
+      off += 4;
+      bool complete = true;
+      std::vector<RefInfo> refs;
+      for (int32_t i = 0; i < n_ref; ++i) {
+        if (data.size() < off + 4) { expect_hdr = off + 4; complete = false; break; }
+        int32_t l_name;
+        memcpy(&l_name, data.data() + off, 4);
+        if (data.size() < off + 8 + (size_t)l_name) {
+          expect_hdr = off + 8 + (size_t)l_name;
+          complete = false;
+          break;
+        }
+        std::string name((const char*)data.data() + off + 4, (size_t)l_name - 1);
+        int32_t l_ref;
+        memcpy(&l_ref, data.data() + off + 4 + l_name, 4);
+        refs.push_back({name, l_ref});
+        off += 8 + l_name;
+      }
+      if (!complete) continue;
+      h->refs = std::move(refs);
+      data_consumed = off;
+      header_done = true;
+    }
+
+    // --- index complete records in [data_consumed, data.size()) ---
+    std::vector<size_t> rec_off;
+    {
+      size_t p = data_consumed;
+      while (p + 4 <= data.size()) {
+        int32_t bs;
+        memcpy(&bs, data.data() + p, 4);
+        if (bs <= 0) { h->error = "corrupt record size"; fclose(f); return h; }
+        if (p + 4 + (size_t)bs > data.size()) break;
+        rec_off.push_back(p);
+        p += 4 + (size_t)bs;
+      }
+      data_consumed = p;
+    }
+    int64_t base = h->n;
+    int64_t n_new = (int64_t)rec_off.size();
+    if (n_new) {
+      // sizes pass for this batch
+      seq_len.resize(n_new);
+      itv_cnt.resize(n_new);
+      cb_len.resize(n_new);
+      ub_len.resize(n_new);
+      parallel_chunks(n_new, n_threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+          const uint8_t* r = data.data() + rec_off[i];
+          int32_t bs;
+          memcpy(&bs, r, 4);
+          const uint8_t* body = r + 4;
+          const uint8_t* bend = body + bs;
+          int32_t l_seq;
+          uint8_t l_read_name = body[8];
+          uint16_t n_cigar;
+          memcpy(&n_cigar, body + 12, 2);
+          memcpy(&l_seq, body + 16, 4);
+          seq_len[i] = l_seq;
+          const uint8_t* cig = body + 32 + l_read_name;
+          int cnt = 0;
+          bool open = false;
+          for (uint16_t c = 0; c < n_cigar; ++c) {
+            uint32_t v;
+            memcpy(&v, cig + 4 * c, 4);
+            uint32_t op = v & 0xF;
+            if (op == 0 || op == 7 || op == 8 || op == 2) {
+              if (!open) { ++cnt; open = true; }
+            } else if (op == 3) {
+              open = false;
+            }
+          }
+          itv_cnt[i] = cnt;
+          const uint8_t* aux = cig + 4 * n_cigar + (l_seq + 1) / 2 + l_seq;
+          const uint8_t *v1, *v2;
+          int32_t l1, l2;
+          scan_aux(aux, bend, cb_tag, "UB", &v1, &l1, &v2, &l2);
+          cb_len[i] = l1;
+          ub_len[i] = l2;
+        }
+      });
+      h->n += n_new;
+      h->tid.resize(h->n);
+      h->pos.resize(h->n);
+      h->ref_end.resize(h->n);
+      h->mapq.resize(h->n);
+      h->flag.resize(h->n);
+      h->seq_off.resize(h->n + 1);
+      h->itv_off.resize(h->n + 1);
+      h->cb_off.resize(h->n + 1);
+      h->ub_off.resize(h->n + 1);
+      for (int64_t i = 0; i < n_new; ++i) {
+        h->seq_off[base + i + 1] = h->seq_off[base + i] + seq_len[i];
+        h->itv_off[base + i + 1] = h->itv_off[base + i] + itv_cnt[i];
+        h->cb_off[base + i + 1] = h->cb_off[base + i] + cb_len[i];
+        h->ub_off[base + i + 1] = h->ub_off[base + i] + ub_len[i];
+      }
+      h->seq_pool.resize((size_t)h->seq_off[h->n]);
+      h->itv_pool.resize((size_t)h->itv_off[h->n] * 2);
+      h->cb_pool.resize((size_t)h->cb_off[h->n]);
+      h->ub_pool.resize((size_t)h->ub_off[h->n]);
+      parallel_chunks(n_new, n_threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+          const uint8_t* r = data.data() + rec_off[i];
+          int64_t gi = base + i;
+          int32_t bs;
+          memcpy(&bs, r, 4);
+          const uint8_t* body = r + 4;
+          const uint8_t* bend = body + bs;
+          int32_t refid, p0, l_seq;
+          memcpy(&refid, body, 4);
+          memcpy(&p0, body + 4, 4);
+          uint8_t l_read_name = body[8];
+          h->mapq[gi] = body[9];
+          uint16_t n_cigar, flg;
+          memcpy(&n_cigar, body + 12, 2);
+          memcpy(&flg, body + 14, 2);
+          memcpy(&l_seq, body + 16, 4);
+          h->tid[gi] = refid;
+          h->pos[gi] = p0;
+          h->flag[gi] = flg;
+          const uint8_t* cig = body + 32 + l_read_name;
+          int32_t rp = p0;
+          int64_t iv = h->itv_off[gi] * 2;
+          bool open = false;
+          int32_t ref_len = 0;
+          for (uint16_t c = 0; c < n_cigar; ++c) {
+            uint32_t v;
+            memcpy(&v, cig + 4 * c, 4);
+            uint32_t op = v & 0xF;
+            int32_t l = (int32_t)(v >> 4);
+            bool consumes_ref = (op == 0 || op == 2 || op == 3 || op == 7 || op == 8);
+            bool aligned = (op == 0 || op == 2 || op == 7 || op == 8);
+            if (aligned) {
+              if (!open) {
+                h->itv_pool[iv] = rp;
+                h->itv_pool[iv + 1] = rp + l;
+                open = true;
+              } else {
+                h->itv_pool[iv + 1] = rp + l;
+              }
+            } else if (op == 3 && open) {
+              iv += 2;
+              open = false;
+            }
+            if (consumes_ref) {
+              rp += l;
+              ref_len += l;
+            }
+          }
+          h->ref_end[gi] = ref_len > 0 ? p0 + ref_len : p0 + 1;
+          const uint8_t* sq = cig + 4 * n_cigar;
+          uint8_t* out = h->seq_pool.data() + h->seq_off[gi];
+          for (int32_t s = 0; s < l_seq; ++s) {
+            uint8_t b = sq[s >> 1];
+            out[s] = (uint8_t)SEQ_NT16[(s & 1) ? (b & 0xF) : (b >> 4)];
+          }
+          const uint8_t* aux = sq + (l_seq + 1) / 2 + l_seq;
+          const uint8_t *v1, *v2;
+          int32_t l1, l2;
+          scan_aux(aux, bend, cb_tag, "UB", &v1, &l1, &v2, &l2);
+          if (l1) memcpy(h->cb_pool.data() + h->cb_off[gi], v1, (size_t)l1);
+          if (l2) memcpy(h->ub_pool.data() + h->ub_off[gi], v2, (size_t)l2);
+        }
+      });
+    }
+    // drop decoded bytes; carry the partial tail into the next round
+    if (data_consumed) {
+      data.erase(data.begin(), data.begin() + (ptrdiff_t)data_consumed);
+      data_consumed = 0;
+    }
+    if (eof && raw_len < 28) break;
+  }
+  fclose(f);
+  if (!header_done) {
+    if (h->error.empty()) h->error = "truncated header";
+    return h;
+  }
+  // seq_off was seeded with a single 0 before n was known; the resizes
+  // above maintain the invariant len == n + 1
+  h->seq_pool.shrink_to_fit();
+  return h;
+}
+
 // Region loader: decode ONLY the BGZF blocks the given index chunks touch
 // (the htslib fetch model the reference uses per variant,
 // /root/reference/src/main.rs:822-826, lifted to a batched plan). chunks =

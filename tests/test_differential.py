@@ -27,10 +27,15 @@ def canon(p):
     (24, ["-s", "coverage", "--umi"]),
     (25, ["--umi", "--mapq", "30"]),
     (26, ["--no-duplicates", "--primary-alignments", "-s", "coverage"]),
+    (27, ["--fetch", "regions", "-s", "coverage", "--umi"]),
+    (28, ["--sw-mode", "banded", "-s", "coverage", "--umi", "--mapq", "20"]),
 ])
 def test_native_matches_python(tmp_path, seed, extra):
+    # spliced-heavy for the region/banded combos: real scRNA is N-split
+    # dominated and those paths must agree across hosts there too
+    spliced = 0.5 if seed >= 27 else 0.04
     cfg = SynthConfig(n_variants=16, n_cells=40, reads_per_variant=40,
-                      indel_frac=0.3, seed=seed)
+                      indel_frac=0.3, seed=seed, spliced_frac=spliced)
     info = generate_dataset(str(tmp_path / "data"), cfg)
     outs = {}
     metrics = {}

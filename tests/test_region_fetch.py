@@ -83,6 +83,25 @@ class TestRegionDecodeBounded:
             assert got == want
 
 
+class TestStreamingDecode:
+    def test_stream_equals_whole_load(self, sparse_ds, monkeypatch):
+        """The bounded-memory streaming loader must produce byte-identical
+        columns to the monolithic whole-file loader."""
+        from vartrix_tpu.io.bam_native import ColumnarBam, native_available
+        if not native_available():
+            pytest.skip("libgenomio unavailable")
+        d, info = sparse_ds
+        monkeypatch.setenv("VARTRIX_STREAM_DECODE", "0")
+        a = ColumnarBam(info["bam"], b"CB")
+        monkeypatch.setenv("VARTRIX_STREAM_DECODE", "1")
+        b = ColumnarBam(info["bam"], b"CB")
+        assert a.n == b.n and a.ref_names == b.ref_names
+        for attr in ("tid", "pos", "ref_end", "mapq", "flag", "seq_off",
+                     "seq_pool", "itv_off", "itv_pool", "cb_off", "cb_pool",
+                     "ub_off", "ub_pool"):
+            assert np.array_equal(getattr(a, attr), getattr(b, attr)), attr
+
+
 class TestChunkPlan:
     def test_merge_overlap_and_gap_bridge(self):
         a = [(0 << 16 | 0, 5 << 16 | 100)]

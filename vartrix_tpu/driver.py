@@ -329,6 +329,26 @@ def _main(argv: List[str]) -> None:
                       "--sw-mode banded runs on the host aligner instead")
         score_fn = _select_backend(args.backend, args.threads, args.sw_mode)
 
+    # device prewarm: kernel compilation and (in relay environments) the
+    # first-execution warm-up can dwarf small runs; fire a tiny scoring
+    # call on a background thread so it overlaps the host decode/collect
+    # phases instead of serializing in front of the score phase
+    try:
+        from .ops.sw_pallas import _on_tpu
+        if _on_tpu() and (hasattr(score_fn, "compact")
+                          or hasattr(score_fn, "pair")):
+            import threading
+
+            def _prewarm(fn=score_fn):
+                try:
+                    fn(np.zeros((1, 16), np.uint8),
+                       np.ones((1, 32), np.uint8))
+                except Exception as e:  # never sink the run
+                    log.debug("prewarm failed: %s", e)
+            threading.Thread(target=_prewarm, daemon=True).start()
+    except Exception:
+        pass
+
     if use_native:
         from .core import agg_numpy
         from .core.fast_pipeline import collect_reads_fast, score_all_fast

@@ -42,6 +42,13 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
         except AttributeError:
             pass
+        try:  # streaming whole-file loader
+            lib.gio_bam_load_stream.restype = vp
+            lib.gio_bam_load_stream.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+                ctypes.c_int64]
+        except AttributeError:
+            pass
         lib.gio_bam_free.argtypes = [vp]
         lib.gio_bam_error.restype = ctypes.c_char_p
         lib.gio_bam_error.argtypes = [vp]
@@ -202,6 +209,12 @@ class ColumnarBam:
                 path.encode(), cb_tag, n_threads,
                 c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 ctypes.c_int64(len(c)))
+        elif (hasattr(lib, "gio_bam_load_stream")
+              and os.environ.get("VARTRIX_STREAM_DECODE", "1") != "0"):
+            # bounded-memory whole-file decode: peak = columns + one
+            # segment, instead of raw + fully-inflated + columns
+            self._h = lib.gio_bam_load_stream(path.encode(), cb_tag,
+                                              n_threads, ctypes.c_int64(0))
         else:
             self._h = lib.gio_bam_load(path.encode(), cb_tag, n_threads)
         err = lib.gio_bam_error(self._h)
