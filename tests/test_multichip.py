@@ -68,7 +68,8 @@ def _golden_dense(n_rows, n_cells):
 def test_sharded_step_matches_consensus_golden(scrna_pairs):
     xs, hap_mat, ir, ia, rows, cells, n_rows, n_cells = scrna_pairs
     n_dev = len(jax.devices())
-    assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
+    if n_dev < 8:  # VARTRIX_TEST_TPU=1 on a single real chip
+        pytest.skip("needs the 8-device virtual CPU mesh")
     mesh = make_mesh()
     valid = np.ones(len(xs), dtype=bool)
     (xs_p, ir_p, ia_p, rows_p, cells_p, valid_p), _ = _pad_pairs(
