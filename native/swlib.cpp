@@ -71,13 +71,12 @@ int32_t banded_sw(const uint8_t* x, int32_t lx, const uint8_t* y, int32_t ly,
   // Open-addressed hash of y k-mers -> first position list (chained).
   const int32_t ny = ly - k + 1;
   static thread_local std::vector<uint64_t> keys;
-  static thread_local std::vector<int32_t> head, nxt, posv;
+  static thread_local std::vector<int32_t> head, nxt;
   int cap = 1;
   while (cap < ny * 2) cap <<= 1;
   keys.assign(cap, ~0ull);
   head.assign(cap, -1);
   nxt.assign(ny, -1);
-  posv.assign(ny, 0);
   auto hash_kmer = [&](const uint8_t* p) {
     uint64_t h = 1469598103934665603ull;
     for (int t = 0; t < k; ++t) { h ^= p[t]; h *= 1099511628211ull; }
@@ -88,7 +87,6 @@ int32_t banded_sw(const uint8_t* x, int32_t lx, const uint8_t* y, int32_t ly,
     uint32_t slot = (uint32_t)h & (cap - 1);
     while (keys[slot] != ~0ull && keys[slot] != h) slot = (slot + 1) & (cap - 1);
     keys[slot] = h;
-    posv[j] = j;
     nxt[j] = head[slot];
     head[slot] = j;
   }
