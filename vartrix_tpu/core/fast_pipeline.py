@@ -250,6 +250,15 @@ def _score_all_pairs(
     qlx = q(seq_lens, lx_quantum)
     qly = q(hap_len[t_var], ly_quantum)
 
+    # one flat haplotype pool (row 2v = rref, 2v+1 = alt_hap); per-bucket
+    # matrices come from a single padded gather — no per-variant Python in
+    # the scoring path
+    hap_pool = np.frombuffer(
+        b"".join(b for w in works for b in (w.rref, w.alt_hap)), np.uint8)
+    hap_off = np.zeros(2 * len(works) + 1, np.int64)
+    np.cumsum([len(b) for w in works for b in (w.rref, w.alt_hap)],
+              out=hap_off[1:])
+
     scores_flat = np.zeros((len(t_read), 2), dtype=np.int32)
     keys = qlx * (1 << 32) + qly
     for key in np.unique(keys):
@@ -257,12 +266,11 @@ def _score_all_pairs(
         lx = int(key >> 32)
         ly = int(key & 0xFFFFFFFF)
         uniq_v, v_inv = np.unique(t_var[sel], return_inverse=True)
-        hap_mat = np.ones((2 * len(uniq_v), ly), dtype=np.uint8)
-        for u, wi in enumerate(uniq_v.tolist()):
-            w = works[wi]
-            hap_mat[2 * u, : len(w.rref)] = np.frombuffer(w.rref, np.uint8)
-            hap_mat[2 * u + 1, : len(w.alt_hap)] = np.frombuffer(
-                w.alt_hap, np.uint8)
+        hap_ids = np.empty(2 * len(uniq_v), np.int64)
+        hap_ids[0::2] = 2 * uniq_v
+        hap_ids[1::2] = 2 * uniq_v + 1
+        hap_mat = _gather_padded_pool(hap_pool, hap_off, hap_ids, ly,
+                                      pad_byte=1)
         x = gather_reads(cbam, t_read[sel], lx)
         idx_ref = (2 * v_inv).astype(np.int32)
         idx_alt = (2 * v_inv + 1).astype(np.int32)
@@ -271,6 +279,26 @@ def _score_all_pairs(
     for wi, start, count in blocks:
         results[wi][:, :] = scores_flat[start : start + count]
     return results
+
+
+def _gather_padded_pool(pool: np.ndarray, off: np.ndarray, ids: np.ndarray,
+                        width: int, pad_byte: int) -> np.ndarray:
+    """[n, width] uint8 gather from a flat var-length pool; rows truncated
+    or padded with pad_byte. Native threaded memcpy when available (pad 0,
+    then the pad byte is patched in — sequences never contain byte 0)."""
+    from ..io.bam_native import gather_padded, native_available
+    if native_available():
+        out = gather_padded(pool, off, ids, width)
+        if out is not None:
+            if pad_byte:
+                out[out == 0] = pad_byte
+            return out
+    lens = (off[ids + 1] - off[ids]).astype(np.int64)
+    cols = np.arange(width, dtype=np.int64)
+    idx = np.minimum(off[ids][:, None] + cols, max(len(pool) - 1, 0))
+    out = pool[idx] if len(pool) else np.zeros((len(ids), width), np.uint8)
+    out[cols[None, :] >= lens[:, None]] = pad_byte
+    return out
 
 
 def score_all_fast(
