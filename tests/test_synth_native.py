@@ -129,3 +129,32 @@ def test_native_gather_padded_matches_numpy():
             exp[i, :n] = pool[s:s + n]
         assert np.array_equal(out, exp)
     assert gather_padded(pool, off, np.zeros(0, np.int64), 64).shape == (0, 64)
+
+
+def test_pair_and_compact_provider_match_array(monkeypatch):
+    """The streaming chunk-gather protocol (x passed as a provider
+    callable) must score identically to the upfront-array protocol,
+    across chunk boundaries."""
+    from vartrix_tpu.ops import sw_pallas_v2 as v2
+
+    monkeypatch.setattr(v2, "CHUNK", 256)  # force multiple chunks
+    rng = np.random.default_rng(7)
+    R, lx, ly = 300, 48, 64
+    x = rng.integers(65, 91, (R, lx)).astype(np.uint8)
+    lens = rng.integers(16, lx + 1, R)
+    x[np.arange(lx)[None, :] >= lens[:, None]] = 0
+    hap = rng.integers(65, 91, (40, ly)).astype(np.uint8)
+    idx_r = rng.integers(0, 40, R).astype(np.int32)
+    idx_a = rng.integers(0, 40, R).astype(np.int32)
+
+    base = v2.sw_scores_pair_tpu(x, hap, idx_r, idx_a)
+
+    def prov(start, n):
+        return x[start : start + n]
+
+    prov.shape = x.shape
+    assert np.array_equal(v2.sw_scores_pair_tpu(prov, hap, idx_r, idx_a),
+                          base)
+    cbase = v2.sw_scores_compact_tpu(x, hap, idx_r)
+    assert np.array_equal(v2.sw_scores_compact_tpu(prov, hap, idx_r), cbase)
+    assert np.array_equal(cbase, base[:, 0])

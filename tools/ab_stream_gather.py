@@ -1,0 +1,48 @@
+"""A/B the streaming chunk gather (VARTRIX_STREAM_GATHER) on the TPU e2e.
+
+Protocol mirrors bench.py: one warm-up dataset absorbs compile + relay
+warm-up, then each arm is timed on its own FRESH dataset (the relay
+caches identical computations). Arms alternate off/on twice to expose
+run-to-run noise.
+"""
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vartrix_tpu.driver import _main
+from vartrix_tpu.utils.synth import SynthConfig, generate_dataset
+
+
+def main():
+    d = tempfile.mkdtemp()
+    nt = str(os.cpu_count() or 1)
+    warm = generate_dataset(os.path.join(d, "w"), SynthConfig(
+        n_variants=100, n_cells=500, reads_per_variant=100, seed=3,
+        spliced_frac=0.5))
+    _main(["-v", warm["vcf"], "-b", warm["bam"], "-f", warm["fasta"],
+           "-c", warm["barcodes"], "-o", os.path.join(d, "warm.mtx"),
+           "--threads", nt, "--backend", "tpu"])
+    print("warm-up done", flush=True)
+
+    arms = [("off", "0", 21), ("on", "1", 22), ("off", "0", 23),
+            ("on", "1", 24)]
+    for tag, flag, seed in arms:
+        data = generate_dataset(os.path.join(d, f"t{seed}"), SynthConfig(
+            n_chroms=4, chrom_len=200_000, n_variants=1000, n_cells=2000,
+            reads_per_variant=500, seed=seed, spliced_frac=0.5))
+        os.environ["VARTRIX_STREAM_GATHER"] = flag
+        out = os.path.join(d, f"out_{tag}_{seed}.mtx")
+        t0 = time.time()
+        _main(["-v", data["vcf"], "-b", data["bam"], "-f", data["fasta"],
+               "-c", data["barcodes"], "-o", out, "--threads", nt,
+               "--backend", "tpu"])
+        dt = time.time() - t0
+        print(f"stream_gather={tag} seed={seed}: {data['n_reads']} reads "
+              f"in {dt:.2f}s -> {data['n_reads']/dt:.0f} reads/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -271,7 +271,16 @@ def _score_all_pairs(
         hap_ids[1::2] = 2 * uniq_v + 1
         hap_mat = _gather_padded_pool(hap_pool, hap_off, hap_ids, ly,
                                       pad_byte=1)
-        x = gather_reads(cbam, t_read[sel], lx)
+        rows = t_read[sel]
+        if os.environ.get("VARTRIX_STREAM_GATHER", "1") != "0":
+            # gather read rows chunk-by-chunk inside the dispatch loop:
+            # host gather of chunk k+1 overlaps device compute of chunk k,
+            # and the full [n, lx] bucket matrix never materializes
+            def x(start, n, rows=rows, lx=lx):
+                return gather_reads(cbam, rows[start : start + n], lx)
+            x.shape = (len(rows), lx)
+        else:
+            x = gather_reads(cbam, rows, lx)
         idx_ref = (2 * v_inv).astype(np.int32)
         idx_alt = (2 * v_inv + 1).astype(np.int32)
         scores_flat[sel] = np.asarray(pair_fn(x, hap_mat, idx_ref, idx_alt),
@@ -388,7 +397,13 @@ def score_all_fast(
         elif compact is not None:
             # compact device protocol: ship unique haps + indices, gather
             # and widen on device (minimizes host->device transfer)
-            x = gather_reads(cbam, t_read[sel], lx)
+            rows = t_read[sel]
+            if os.environ.get("VARTRIX_STREAM_GATHER", "1") != "0":
+                def x(start, n, rows=rows, lx=lx):
+                    return gather_reads(cbam, rows[start : start + n], lx)
+                x.shape = (len(rows), lx)
+            else:
+                x = gather_reads(cbam, rows, lx)
             scores_flat[sel] = np.asarray(
                 compact(x, hap_mat, inv.astype(np.int32)), dtype=np.int32)
         else:

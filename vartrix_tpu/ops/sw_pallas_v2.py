@@ -250,13 +250,20 @@ def _sw_compact_pairs(x_u8: jax.Array, hap_mat: jax.Array, idx2: jax.Array,
                          unroll=unroll)
 
 
-def sw_scores_pair_tpu(x: np.ndarray, hap_mat: np.ndarray,
+def sw_scores_pair_tpu(x, hap_mat: np.ndarray,
                        idx_ref: np.ndarray, idx_alt: np.ndarray,
                        unroll: int = UNROLL_DEFAULT) -> np.ndarray:
     """x uint8 [R, Lx] one row per READ (pad 0), hap_mat uint8 [H, Ly]
     (pad 1), idx_ref/idx_alt int32 [R] -> int32 [R, 2] (ref, alt) scores.
     Chunked like the other entries; each chunk ships R read rows and
-    scores 2R pairs."""
+    scores 2R pairs.
+
+    x may instead be a callable provider `(start, n) -> uint8 [n, Lx]`
+    carrying a `.shape == (R, Lx)` attribute: the read rows are then
+    gathered chunk-by-chunk inside the dispatch loop, so host gather of
+    chunk k+1 overlaps device compute of chunk k (and the full [R, Lx]
+    matrix never materializes on the host)."""
+    provider = callable(x)
     R, lx = x.shape
     ly = hap_mat.shape[1]
     interpret = not _on_tpu()
@@ -269,7 +276,7 @@ def sw_scores_pair_tpu(x: np.ndarray, hap_mat: np.ndarray,
         n = min(half, R - start)
         bp = max(_quantized_batch(2 * n) // 2, LANES // 2)
         xc = np.zeros((bp, lx), dtype=np.uint8)
-        xc[:n] = x[start : start + n]
+        xc[:n] = x(start, n) if provider else x[start : start + n]
         idx2 = np.zeros(2 * bp, dtype=np.int32)
         idx2[0 : 2 * n : 2] = idx_ref[start : start + n]
         idx2[1 : 2 * n : 2] = idx_alt[start : start + n]
@@ -285,10 +292,12 @@ def sw_scores_pair_tpu(x: np.ndarray, hap_mat: np.ndarray,
     return out
 
 
-def sw_scores_compact_tpu(x: np.ndarray, hap_mat: np.ndarray,
+def sw_scores_compact_tpu(x, hap_mat: np.ndarray,
                           hap_idx: np.ndarray, unroll: int = UNROLL_DEFAULT) -> np.ndarray:
     """x uint8 [B, Lx] (pad 0), hap_mat uint8 [H, Ly] (pad 1),
-    hap_idx int32 [B] -> int32 [B]. Chunked like sw_scores_batch_tpu_v2."""
+    hap_idx int32 [B] -> int32 [B]. Chunked like sw_scores_batch_tpu_v2.
+    x may be a chunk provider (see sw_scores_pair_tpu)."""
+    provider = callable(x)
     B, lx = x.shape
     ly = hap_mat.shape[1]
     interpret = not _on_tpu()
@@ -300,7 +309,7 @@ def sw_scores_compact_tpu(x: np.ndarray, hap_mat: np.ndarray,
         n = min(CHUNK, B - start)
         bp = _quantized_batch(n)
         xc = np.zeros((bp, lx), dtype=np.uint8)
-        xc[:n] = x[start : start + n]
+        xc[:n] = x(start, n) if provider else x[start : start + n]
         ic = np.zeros(bp, dtype=np.int32)
         ic[:n] = hap_idx[start : start + n]
         results.append(_sw_compact(jnp.asarray(xc), hap_dev, jnp.asarray(ic),
@@ -403,8 +412,9 @@ def make_mesh_scorer(n_devices: int = 0, unroll: int = UNROLL_DEFAULT):
             out[s : s + cn] = compact(x[s : s + cn], y[s : s + cn], idx)
         return out
 
-    def compact(x: np.ndarray, hap_mat: np.ndarray,
+    def compact(x, hap_mat: np.ndarray,
                 hap_idx: np.ndarray) -> np.ndarray:
+        provider = callable(x)
         B, lx = x.shape
         ly = hap_mat.shape[1]
         hap_dev = jnp.asarray(hap_mat)
@@ -417,7 +427,7 @@ def make_mesh_scorer(n_devices: int = 0, unroll: int = UNROLL_DEFAULT):
             q = n * LANES
             bp = ((max(_quantized_batch(cn), q) + q - 1) // q) * q
             xc = np.zeros((bp, lx), dtype=np.uint8)
-            xc[:cn] = x[start : start + cn]
+            xc[:cn] = x(start, cn) if provider else x[start : start + cn]
             ic = np.zeros(bp, dtype=np.int32)
             ic[:cn] = hap_idx[start : start + cn]
             results.append(_sharded(jnp.asarray(xc), hap_dev,
