@@ -29,19 +29,27 @@ def main():
 
     arms = [("off", "0", 21), ("on", "1", 22), ("off", "0", 23),
             ("on", "1", 24)]
-    for tag, flag, seed in arms:
-        data = generate_dataset(os.path.join(d, f"t{seed}"), SynthConfig(
-            n_chroms=4, chrom_len=200_000, n_variants=1000, n_cells=2000,
-            reads_per_variant=500, seed=seed, spliced_frac=0.5))
-        os.environ["VARTRIX_STREAM_GATHER"] = flag
-        out = os.path.join(d, f"out_{tag}_{seed}.mtx")
-        t0 = time.time()
-        _main(["-v", data["vcf"], "-b", data["bam"], "-f", data["fasta"],
-               "-c", data["barcodes"], "-o", out, "--threads", nt,
-               "--backend", "tpu"])
-        dt = time.time() - t0
-        print(f"stream_gather={tag} seed={seed}: {data['n_reads']} reads "
-              f"in {dt:.2f}s -> {data['n_reads']/dt:.0f} reads/s", flush=True)
+    prior = os.environ.get("VARTRIX_STREAM_GATHER")
+    try:
+        for tag, flag, seed in arms:
+            data = generate_dataset(os.path.join(d, f"t{seed}"), SynthConfig(
+                n_chroms=4, chrom_len=200_000, n_variants=1000, n_cells=2000,
+                reads_per_variant=500, seed=seed, spliced_frac=0.5))
+            os.environ["VARTRIX_STREAM_GATHER"] = flag
+            out = os.path.join(d, f"out_{tag}_{seed}.mtx")
+            t0 = time.time()
+            _main(["-v", data["vcf"], "-b", data["bam"], "-f", data["fasta"],
+                   "-c", data["barcodes"], "-o", out, "--threads", nt,
+                   "--backend", "tpu"])
+            dt = time.time() - t0
+            print(f"stream_gather={tag} seed={seed}: {data['n_reads']} reads "
+                  f"in {dt:.2f}s -> {data['n_reads']/dt:.0f} reads/s",
+                  flush=True)
+    finally:
+        if prior is None:
+            os.environ.pop("VARTRIX_STREAM_GATHER", None)
+        else:
+            os.environ["VARTRIX_STREAM_GATHER"] = prior
 
 
 if __name__ == "__main__":

@@ -23,6 +23,24 @@ from ..constants import CONSENSUS_THRESHOLD, MIN_SCORE
 log = logging.getLogger("vartrix")
 
 
+def _pack_shift(lo_vals, hi_vals, min_shift):
+    """Bit width for packing ``hi << shift | lo`` into int64 without
+    collisions: widens past ``min_shift`` when lo values exceed the default
+    budget, and raises (instead of silently corrupting) when the combined
+    key cannot fit 63 bits.  Guards the cohort-scale limits flagged in
+    VERDICT r2 #6 (>2^24 barcodes / >2^30 UMI ids)."""
+    lo_max = int(lo_vals.max()) if len(lo_vals) else 0
+    hi_max = int(hi_vals.max()) if len(hi_vals) else 0
+    if lo_max < 0 or hi_max < 0:
+        raise ValueError("aggregation keys must be non-negative")
+    shift = max(min_shift, lo_max.bit_length())
+    if hi_max.bit_length() + shift > 63:
+        raise ValueError(
+            f"aggregation key overflow: {hi_max} groups x {lo_max} sub-keys "
+            f"need {hi_max.bit_length() + shift} bits (> 63)")
+    return shift
+
+
 def _cell_counts(cells, umis, scores2, use_umi):
     """-> (seen_cells sorted, ref_count, alt_count, unk_count per cell)."""
     r, a = scores2[:, 0], scores2[:, 1]
@@ -34,7 +52,8 @@ def _cell_counts(cells, umis, scores2, use_umi):
     kcall = call[kept]
     if use_umi:
         ku = umis[kept]
-        key = kc.astype(np.int64) * (1 << 40) ^ ku  # umi ids are per-file dense
+        ush = _pack_shift(ku, kc, 40)  # umi ids are per-file dense
+        key = (kc.astype(np.int64) << ush) | ku
         uk, inv = np.unique(key, return_inverse=True)
         nu = len(uk)
         refc = np.bincount(inv, weights=(kcall == 1), minlength=nu)
@@ -47,7 +66,7 @@ def _cell_counts(cells, umis, scores2, use_umi):
         ucall = np.where(
             altf >= CONSENSUS_THRESHOLD, 2,
             np.where(reff >= CONSENSUS_THRESHOLD, 1, -1)).astype(np.int8)
-        gcell = np.right_shift(uk, 40).astype(cells.dtype)  # umi ids < 2^40
+        gcell = np.right_shift(uk, ush).astype(cells.dtype)
     else:
         ucall = kcall
         gcell = kc
@@ -112,7 +131,8 @@ def aggregate_flat(cells_l, umis_l, scores_l, use_umi):
     drop = (r < MIN_SCORE) & (a < MIN_SCORE)
     call = np.where(r > a, 1, np.where(a > r, 2, -1)).astype(np.int8)
 
-    cell_key = rows << 24 | cells  # cells < 2^24
+    csh = _pack_shift(cells, rows, 24)
+    cell_key = rows << csh | cells
     cg_uniq, cg = np.unique(cell_key, return_inverse=True)
     n_cg = len(cg_uniq)
 
@@ -121,7 +141,8 @@ def aggregate_flat(cells_l, umis_l, scores_l, use_umi):
     kcall = call[kept]
     if use_umi:
         umis = np.concatenate(umis_l).astype(np.int64)[kept]
-        ug_key = (kcg.astype(np.int64) << 30) | umis
+        ush = _pack_shift(umis, kcg, 30)
+        ug_key = (kcg.astype(np.int64) << ush) | umis
         ug_uniq, ug = np.unique(ug_key, return_inverse=True)
         nu = len(ug_uniq)
         refc = np.bincount(ug, weights=(kcall == 1), minlength=nu)
@@ -131,11 +152,12 @@ def aggregate_flat(cells_l, umis_l, scores_l, use_umi):
         # frac >= 0.75 as exact integer compare (4*c >= 3*tot)
         ucall = np.where(4 * altc >= 3 * tot, 2,
                          np.where(4 * refc >= 3 * tot, 1, -1)).astype(np.int8)
-        gcg = (ug_uniq >> 30).astype(np.int64)
+        gcg = (ug_uniq >> ush).astype(np.int64)
     else:
         ucall = kcall
         gcg = kcg
     ref_c = np.bincount(gcg, weights=(ucall == 1), minlength=n_cg).astype(np.int64)
     alt_c = np.bincount(gcg, weights=(ucall == 2), minlength=n_cg).astype(np.int64)
     unk_c = np.bincount(gcg, weights=(ucall == -1), minlength=n_cg).astype(np.int64)
-    return ((cg_uniq >> 24), (cg_uniq & ((1 << 24) - 1)), ref_c, alt_c, unk_c)
+    return ((cg_uniq >> csh), (cg_uniq & ((1 << csh) - 1)),
+            ref_c, alt_c, unk_c)

@@ -189,6 +189,19 @@ def collect_reads_fast(
     return read_idx_out, cells_out, umis_out
 
 
+def _read_provider(cbam: ColumnarBam, rows: np.ndarray, lx: int):
+    """Read matrix for a device dispatch: either the materialized [n, lx]
+    array, or (default) a chunk-callable with a .shape attribute so the
+    dispatcher can gather chunk k+1 on host while chunk k computes on
+    device, never materializing the whole bucket."""
+    if os.environ.get("VARTRIX_STREAM_GATHER", "1") != "0":
+        def x(start, n, rows=rows, lx=lx):
+            return gather_reads(cbam, rows[start : start + n], lx)
+        x.shape = (len(rows), lx)
+        return x
+    return gather_reads(cbam, rows, lx)
+
+
 def gather_reads(cbam: ColumnarBam, read_ids: np.ndarray, lx: int) -> np.ndarray:
     """[B, lx] uint8 read matrix (pad byte 0) gathered from the seq pool.
 
@@ -271,16 +284,7 @@ def _score_all_pairs(
         hap_ids[1::2] = 2 * uniq_v + 1
         hap_mat = _gather_padded_pool(hap_pool, hap_off, hap_ids, ly,
                                       pad_byte=1)
-        rows = t_read[sel]
-        if os.environ.get("VARTRIX_STREAM_GATHER", "1") != "0":
-            # gather read rows chunk-by-chunk inside the dispatch loop:
-            # host gather of chunk k+1 overlaps device compute of chunk k,
-            # and the full [n, lx] bucket matrix never materializes
-            def x(start, n, rows=rows, lx=lx):
-                return gather_reads(cbam, rows[start : start + n], lx)
-            x.shape = (len(rows), lx)
-        else:
-            x = gather_reads(cbam, rows, lx)
+        x = _read_provider(cbam, t_read[sel], lx)
         idx_ref = (2 * v_inv).astype(np.int32)
         idx_alt = (2 * v_inv + 1).astype(np.int32)
         scores_flat[sel] = np.asarray(pair_fn(x, hap_mat, idx_ref, idx_alt),
@@ -397,13 +401,7 @@ def score_all_fast(
         elif compact is not None:
             # compact device protocol: ship unique haps + indices, gather
             # and widen on device (minimizes host->device transfer)
-            rows = t_read[sel]
-            if os.environ.get("VARTRIX_STREAM_GATHER", "1") != "0":
-                def x(start, n, rows=rows, lx=lx):
-                    return gather_reads(cbam, rows[start : start + n], lx)
-                x.shape = (len(rows), lx)
-            else:
-                x = gather_reads(cbam, rows, lx)
+            x = _read_provider(cbam, t_read[sel], lx)
             scores_flat[sel] = np.asarray(
                 compact(x, hap_mat, inv.astype(np.int32)), dtype=np.int32)
         else:

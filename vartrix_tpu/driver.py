@@ -186,8 +186,9 @@ def _select_backend(name: str, n_threads: int = 1, sw_mode: str = "full"):
                     ys = [bytes(row[row != 1]) for row in _np.asarray(y)]
                     return full_sw_batch_native(xs, ys, _nt)
                 return cpu_native
-        except Exception:
-            pass
+        except Exception as exc:
+            log.warning("native SW library unavailable (%s); falling back "
+                        "to the NumPy oracle (~100x slower)", exc)
         from .ops.sw_numpy import sw_scores_batch
         return sw_scores_batch
     if name == "tpu":
@@ -402,12 +403,13 @@ def _main(argv: List[str]) -> None:
                         todo.append(wi)
                 sub = score_all_fast(cbam, [works[i] for i in todo],
                                      [read_idx[i] for i in todo], score_fn)
+                todo_pos = {wi: k for k, wi in enumerate(todo)}
                 per_variant_scores = []
                 for wi, w in enumerate(works):
                     if wi in cached:
                         per_variant_scores.append(cached[wi])
                     else:
-                        arr = sub[todo.index(wi)]
+                        arr = sub[todo_pos[wi]]
                         ckpt.save(w.row, arr)
                         per_variant_scores.append(arr)
                 log.info("Checkpoint: %d variants loaded, %d scored",
