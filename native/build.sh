@@ -7,4 +7,7 @@ g++ -O3 -march=native -std=c++17 -shared -fPIC -pthread swlib.cpp -o ../vartrix_
 if [ -f genomio.cpp ]; then
   g++ -O3 -march=native -std=c++17 -shared -fPIC -pthread genomio.cpp -o ../vartrix_tpu/_native/libgenomio.so -lz
 fi
+if [ -f cramio.cpp ]; then
+  g++ -O3 -march=native -std=c++17 -shared -fPIC -pthread cramio.cpp -o ../vartrix_tpu/_native/libcramio.so -lz
+fi
 echo "built: $(ls ../vartrix_tpu/_native/)"

@@ -1,0 +1,1196 @@
+// libcramio: native CRAM 3.0 container decoder.
+//
+// The reference consumes CRAM via htslib (/root/reference/src/main.rs:
+// 530-535). Round 2 decoded CRAM in Python (vartrix_tpu/io/cram.py) —
+// exact but ~12k records/s. This library ports the hot decode path to
+// C++: ITF8/LTF8 varints, block decompression (raw/gzip/rANS-4x8 order
+// 0+1), the compression header (preservation map, data-series encodings,
+// tag encodings), slice record decoding with reference-based sequence
+// reconstruction, and BAM record synthesis. Containers decode in
+// parallel (each is self-contained). Output is a raw (non-BGZF) BAM byte
+// stream consumed zero-copy by libgenomio's columnar loader.
+//
+// The Python implementation remains the oracle: tests cross-validate the
+// two container-for-container (tests/test_cram_native.py). Unsupported
+// features (bzip2/lzma blocks, exotic codecs) set an error string; the
+// Python caller falls back to the oracle path.
+//
+// Build: native/build.sh -> vartrix_tpu/_native/libcramio.so
+
+#include <zlib.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <stdexcept>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct CramError : std::runtime_error {
+  using std::runtime_error::runtime_error;
+};
+
+// ---------------------------------------------------------------------------
+// varints (CRAM spec 2.3)
+
+int32_t read_itf8(const uint8_t* buf, size_t len, size_t& off) {
+  if (off >= len) throw CramError("itf8 past end");
+  uint32_t b0 = buf[off];
+  if (b0 < 0x80) { off += 1; return (int32_t)b0; }
+  if (b0 < 0xC0) {
+    uint32_t v = ((b0 & 0x3F) << 8) | buf[off + 1];
+    off += 2; return (int32_t)v;
+  }
+  if (b0 < 0xE0) {
+    uint32_t v = ((b0 & 0x1F) << 16) | (buf[off + 1] << 8) | buf[off + 2];
+    off += 3; return (int32_t)v;
+  }
+  if (b0 < 0xF0) {
+    uint32_t v = ((b0 & 0x0F) << 24) | (buf[off + 1] << 16) |
+                 (buf[off + 2] << 8) | buf[off + 3];
+    off += 4; return (int32_t)v;
+  }
+  uint32_t v = ((b0 & 0x0F) << 28) | (buf[off + 1] << 20) |
+               (buf[off + 2] << 12) | (buf[off + 3] << 4) |
+               (buf[off + 4] & 0x0F);
+  off += 5;
+  return (int32_t)v;  // wraps negative like the spec's 32-bit value
+}
+
+int64_t read_ltf8(const uint8_t* buf, size_t len, size_t& off) {
+  if (off >= len) throw CramError("ltf8 past end");
+  uint32_t b0 = buf[off];
+  int n = 0;
+  while (n < 8 && ((b0 << n) & 0x80)) ++n;
+  if (n == 0) { off += 1; return (int64_t)b0; }
+  if (n == 8) {
+    uint64_t v = 0;
+    for (int k = 0; k < 8; ++k) v = (v << 8) | buf[off + 1 + k];
+    off += 9;
+    return (int64_t)v;
+  }
+  uint64_t v = b0 & (0xFF >> (n + 1));
+  for (int k = 0; k < n; ++k) v = (v << 8) | buf[off + 1 + k];
+  off += 1 + n;
+  return (int64_t)v;
+}
+
+// ---------------------------------------------------------------------------
+// rANS 4x8 (CRAM spec 13)
+
+constexpr uint32_t RANS_LOW = 1u << 23;
+
+size_t read_freq_table0(const uint8_t* d, size_t len, size_t off,
+                        uint32_t freqs[256]) {
+  memset(freqs, 0, 256 * sizeof(uint32_t));
+  int sym = d[off++];
+  int last_sym = sym;
+  int rle = 0;
+  while (true) {
+    freqs[sym] = (uint32_t)read_itf8(d, len, off);
+    if (rle > 0) {
+      --rle;
+      ++sym;
+    } else {
+      sym = d[off++];
+      if (sym == last_sym + 1) rle = d[off++];
+      if (sym == 0) break;
+    }
+    last_sym = sym;
+  }
+  return off;
+}
+
+void cum_from_freqs(const uint32_t freqs[256], uint32_t cum[257]) {
+  cum[0] = 0;
+  for (int i = 0; i < 256; ++i) cum[i + 1] = cum[i] + freqs[i];
+}
+
+void build_lookup(const uint32_t cum[257], uint8_t lookup[4096]) {
+  for (int s = 0; s < 256; ++s)
+    for (uint32_t t = cum[s]; t < cum[s + 1] && t < 4096; ++t)
+      lookup[t] = (uint8_t)s;
+}
+
+void rans0_decode(const uint8_t* d, size_t len, size_t off, uint8_t* out,
+                  size_t n_out) {
+  uint32_t freqs[256], cum[257];
+  off = read_freq_table0(d, len, off, freqs);
+  cum_from_freqs(freqs, cum);
+  if (cum[256] > 4096) throw CramError("rans0 freq total > 4096");
+  std::vector<uint8_t> lookup(4096);
+  build_lookup(cum, lookup.data());
+  uint32_t states[4];
+  memcpy(states, d + off, 16);
+  off += 16;
+  for (size_t i = 0; i < n_out; ++i) {
+    int j = (int)(i & 3);
+    uint32_t x = states[j];
+    uint32_t slot = x & 0xFFF;
+    uint8_t s = lookup[slot];
+    out[i] = s;
+    x = freqs[s] * (x >> 12) + slot - cum[s];
+    while (x < RANS_LOW && off < len) x = (x << 8) | d[off++];
+    states[j] = x;
+  }
+}
+
+void rans1_decode(const uint8_t* d, size_t len, size_t off, uint8_t* out,
+                  size_t n_out) {
+  // order-1: per-context order-0 tables with RLE over contexts
+  std::vector<uint32_t> freqs(256 * 256, 0);
+  std::vector<uint32_t> cums(256 * 257);
+  std::vector<uint8_t> lookups;   // built lazily per context
+  std::vector<int32_t> lk_idx(256, -1);
+  int ctx = d[off++];
+  int last_ctx = ctx;
+  int rle_ctx = 0;
+  while (true) {
+    off = read_freq_table0(d, len, off, &freqs[ctx * 256]);
+    if (rle_ctx > 0) {
+      --rle_ctx;
+      ++ctx;
+    } else {
+      int nxt = d[off++];
+      ctx = nxt;
+      if (ctx == 0) break;
+      if (ctx == last_ctx + 1) rle_ctx = d[off++];
+    }
+    last_ctx = ctx;
+  }
+  for (int c = 0; c < 256; ++c) cum_from_freqs(&freqs[c * 256], &cums[c * 257]);
+  uint32_t states[4];
+  memcpy(states, d + off, 16);
+  off += 16;
+  size_t isz4 = n_out >> 2;
+  int last[4] = {0, 0, 0, 0};
+  auto decode_one = [&](int j, size_t pos) {
+    uint32_t x = states[j];
+    int c = last[j];
+    if (lk_idx[c] < 0) {
+      lk_idx[c] = (int32_t)(lookups.size() / 4096);
+      lookups.resize(lookups.size() + 4096);
+      build_lookup(&cums[c * 257], &lookups[lk_idx[c] * (size_t)4096]);
+    }
+    const uint8_t* lk = &lookups[lk_idx[c] * (size_t)4096];
+    uint32_t slot = x & 0xFFF;
+    uint8_t s = lk[slot];
+    out[pos] = s;
+    x = freqs[c * 256 + s] * (x >> 12) + slot - cums[c * 257 + s];
+    while (x < RANS_LOW && off < len) x = (x << 8) | d[off++];
+    states[j] = x;
+    last[j] = s;
+  };
+  for (size_t i = 0; i < isz4; ++i)
+    for (int j = 0; j < 4; ++j) decode_one(j, j * isz4 + i);
+  for (size_t pos = 4 * isz4; pos < n_out; ++pos) decode_one(3, pos);
+}
+
+void rans_decode_4x8(const uint8_t* d, size_t len, uint8_t* out,
+                     size_t raw_size) {
+  if (len < 9) throw CramError("rans block too short");
+  int order = d[0];
+  uint32_t n_out;
+  memcpy(&n_out, d + 5, 4);
+  if (n_out != raw_size) throw CramError("rans raw size mismatch");
+  if (order == 0)
+    rans0_decode(d, len, 9, out, n_out);
+  else if (order == 1)
+    rans1_decode(d, len, 9, out, n_out);
+  else
+    throw CramError("rans order > 1");
+}
+
+// ---------------------------------------------------------------------------
+// blocks
+
+enum { METHOD_RAW = 0, METHOD_GZIP = 1, METHOD_BZIP2 = 2, METHOD_LZMA = 3,
+       METHOD_RANS = 4 };
+enum { CT_FILE_HEADER = 0, CT_COMP_HEADER = 1, CT_SLICE_HEADER = 2,
+       CT_EXTERNAL = 4, CT_CORE = 5 };
+
+struct CBlock {
+  int method = 0;
+  int content_type = 0;
+  int32_t content_id = 0;
+  std::vector<uint8_t> data;
+};
+
+void gzip_inflate(const uint8_t* src, size_t src_len, uint8_t* dst,
+                  size_t dst_len) {
+  z_stream zs{};
+  if (inflateInit2(&zs, 31) != Z_OK) throw CramError("inflateInit2");
+  zs.next_in = const_cast<uint8_t*>(src);
+  zs.avail_in = (uInt)src_len;
+  zs.next_out = dst;
+  zs.avail_out = (uInt)dst_len;
+  int ret = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  if (ret != Z_STREAM_END || zs.avail_out != 0)
+    throw CramError("gzip block inflate failure");
+}
+
+size_t read_block(const uint8_t* buf, size_t len, size_t off, CBlock& b) {
+  if (off + 2 > len) throw CramError("block header past end");
+  b.method = buf[off];
+  b.content_type = buf[off + 1];
+  off += 2;
+  b.content_id = read_itf8(buf, len, off);
+  int32_t csize = read_itf8(buf, len, off);
+  int32_t rsize = read_itf8(buf, len, off);
+  if (off + (size_t)csize > len) throw CramError("block payload past end");
+  const uint8_t* payload = buf + off;
+  off += (size_t)csize;
+  off += 4;  // crc32
+  b.data.resize((size_t)rsize);
+  switch (b.method) {
+    case METHOD_RAW:
+      if (csize != rsize) throw CramError("raw block size mismatch");
+      memcpy(b.data.data(), payload, (size_t)rsize);
+      break;
+    case METHOD_GZIP:
+      gzip_inflate(payload, (size_t)csize, b.data.data(), (size_t)rsize);
+      break;
+    case METHOD_RANS:
+      rans_decode_4x8(payload, (size_t)csize, b.data.data(), (size_t)rsize);
+      break;
+    default:
+      throw CramError("unsupported block compression method " +
+                      std::to_string(b.method));
+  }
+  return off;
+}
+
+size_t skip_block(const uint8_t* buf, size_t len, size_t off) {
+  off += 2;
+  (void)read_itf8(buf, len, off);
+  int32_t csize = read_itf8(buf, len, off);
+  (void)read_itf8(buf, len, off);
+  return off + (size_t)csize + 4;
+}
+
+const uint8_t CRAM_EOF[] = {
+    0x0f, 0x00, 0x00, 0x00, 0xff, 0xff, 0xff, 0xff, 0x0f, 0xe0, 0x45, 0x4f,
+    0x46, 0x00, 0x00, 0x00, 0x00, 0x01, 0x00, 0x05, 0xbd, 0xd9, 0x4f, 0x00,
+    0x01, 0x00, 0x06, 0x06, 0x01, 0x00, 0x01, 0x00, 0x01, 0x00, 0xee, 0x63,
+    0x01, 0x4b};
+
+// ---------------------------------------------------------------------------
+// core bit reader (MSB first)
+
+struct BitReader {
+  const uint8_t* data = nullptr;
+  size_t len = 0;
+  size_t pos = 0;  // bit position
+  uint32_t read_bits(int n) {
+    uint32_t v = 0;
+    for (int k = 0; k < n; ++k) {
+      if ((pos >> 3) >= len) throw CramError("core bit read past end");
+      uint8_t byte = data[pos >> 3];
+      v = (v << 1) | ((byte >> (7 - (pos & 7))) & 1);
+      ++pos;
+    }
+    return v;
+  }
+};
+
+struct ExtStream {
+  const uint8_t* data = nullptr;
+  size_t len = 0;
+  size_t off = 0;
+  const uint8_t* read(size_t n) {
+    if (off + n > len) throw CramError("external read past end");
+    const uint8_t* p = data + off;
+    off += n;
+    return p;
+  }
+  uint8_t read_byte() {
+    if (off >= len) throw CramError("external byte past end");
+    return data[off++];
+  }
+  int32_t read_itf8_v() { return read_itf8(data, len, off); }
+  std::pair<const uint8_t*, size_t> read_until(uint8_t stop) {
+    const uint8_t* p =
+        (const uint8_t*)memchr(data + off, stop, len - off);
+    if (!p) throw CramError("byte_array_stop: stop byte missing");
+    const uint8_t* s = data + off;
+    size_t n = (size_t)(p - s);
+    off = (size_t)(p - data) + 1;
+    return {s, n};
+  }
+};
+
+// ---------------------------------------------------------------------------
+// encodings
+
+enum { C_NULL = 0, C_EXTERNAL = 1, C_GOLOMB = 2, C_HUFFMAN = 3,
+       C_BYTE_ARRAY_LEN = 4, C_BYTE_ARRAY_STOP = 5, C_BETA = 6 };
+
+struct Encoding {
+  int codec = C_NULL;
+  int32_t content_id = 0;                       // EXTERNAL / BYTE_ARRAY_STOP
+  uint8_t stop = 0;                             // BYTE_ARRAY_STOP
+  int32_t offset = 0, nbits = 0;                // BETA
+  std::vector<int32_t> alphabet;                // HUFFMAN
+  std::unordered_map<uint64_t, int32_t> codes;  // HUFFMAN (len<<32|code)
+  bool single = false;
+  std::unique_ptr<Encoding> len_enc, val_enc;   // BYTE_ARRAY_LEN
+
+  void parse(int c, const uint8_t* p, size_t plen) {
+    codec = c;
+    size_t off = 0;
+    if (c == C_EXTERNAL) {
+      content_id = read_itf8(p, plen, off);
+    } else if (c == C_HUFFMAN) {
+      int32_t n = read_itf8(p, plen, off);
+      alphabet.resize(n);
+      for (int32_t i = 0; i < n; ++i) alphabet[i] = read_itf8(p, plen, off);
+      int32_t n2 = read_itf8(p, plen, off);
+      std::vector<int32_t> lens(n2);
+      for (int32_t i = 0; i < n2; ++i) lens[i] = read_itf8(p, plen, off);
+      std::vector<int32_t> order(n);
+      for (int32_t i = 0; i < n; ++i) order[i] = i;
+      std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+        if (lens[a] != lens[b]) return lens[a] < lens[b];
+        return alphabet[a] < alphabet[b];
+      });
+      uint64_t code = 0;
+      int32_t prev_len = 0;
+      for (int32_t i : order) {
+        int32_t l = lens[i];
+        code <<= (l - prev_len);
+        codes[((uint64_t)l << 32) | code] = alphabet[i];
+        ++code;
+        prev_len = l;
+      }
+      single = (n == 1 && n2 >= 1 && lens[0] == 0);
+    } else if (c == C_BETA) {
+      offset = read_itf8(p, plen, off);
+      nbits = read_itf8(p, plen, off);
+    } else if (c == C_BYTE_ARRAY_LEN) {
+      int32_t lc = read_itf8(p, plen, off);
+      int32_t ln = read_itf8(p, plen, off);
+      len_enc = std::make_unique<Encoding>();
+      len_enc->parse(lc, p + off, (size_t)ln);
+      off += (size_t)ln;
+      int32_t vc = read_itf8(p, plen, off);
+      int32_t vn = read_itf8(p, plen, off);
+      val_enc = std::make_unique<Encoding>();
+      val_enc->parse(vc, p + off, (size_t)vn);
+    } else if (c == C_BYTE_ARRAY_STOP) {
+      stop = p[0];
+      size_t o = 1;
+      content_id = read_itf8(p, plen, o);
+    } else if (c == C_NULL) {
+      // nothing
+    } else {
+      throw CramError("unsupported encoding codec " + std::to_string(c));
+    }
+  }
+
+  int32_t read_int(BitReader& core,
+                   std::unordered_map<int32_t, ExtStream>& ext) const {
+    if (codec == C_EXTERNAL) return ext.at(content_id).read_itf8_v();
+    if (codec == C_HUFFMAN) {
+      if (single) return alphabet[0];
+      uint64_t code = 0;
+      for (int l = 1; l <= 32; ++l) {
+        code = (code << 1) | core.read_bits(1);
+        auto it = codes.find(((uint64_t)l << 32) | code);
+        if (it != codes.end()) return it->second;
+      }
+      throw CramError("bad huffman stream");
+    }
+    if (codec == C_BETA) return (int32_t)core.read_bits(nbits) - offset;
+    throw CramError("int read from codec " + std::to_string(codec));
+  }
+
+  uint8_t read_byte(BitReader& core,
+                    std::unordered_map<int32_t, ExtStream>& ext) const {
+    if (codec == C_EXTERNAL) return ext.at(content_id).read_byte();
+    return (uint8_t)read_int(core, ext);
+  }
+
+  void read_bytes(int32_t n_hint, BitReader& core,
+                  std::unordered_map<int32_t, ExtStream>& ext,
+                  std::vector<uint8_t>& out) const {
+    out.clear();
+    if (codec == C_BYTE_ARRAY_STOP) {
+      auto [p, n] = ext.at(content_id).read_until(stop);
+      out.assign(p, p + n);
+      return;
+    }
+    if (codec == C_BYTE_ARRAY_LEN) {
+      int32_t n = len_enc->read_int(core, ext);
+      if (val_enc->codec == C_EXTERNAL) {
+        const uint8_t* p = ext.at(val_enc->content_id).read((size_t)n);
+        out.assign(p, p + n);
+      } else {
+        out.resize((size_t)n);
+        for (int32_t i = 0; i < n; ++i)
+          out[i] = val_enc->read_byte(core, ext);
+      }
+      return;
+    }
+    if (codec == C_EXTERNAL) {
+      if (n_hint < 0) throw CramError("external bytes without length hint");
+      const uint8_t* p = ext.at(content_id).read((size_t)n_hint);
+      out.assign(p, p + n_hint);
+      return;
+    }
+    throw CramError("bytes read from codec " + std::to_string(codec));
+  }
+};
+
+// ---------------------------------------------------------------------------
+// compression header
+
+struct TagDef {
+  char t0, t1, typ;
+};
+
+struct CompressionHeader {
+  bool pres_RN = true, pres_AP = false, pres_RR = true;
+  uint8_t sub_matrix[5] = {0, 0, 0, 0, 0};
+  std::vector<std::vector<TagDef>> tag_dict{{}};
+  std::unordered_map<uint32_t, Encoding> encodings;      // key: t0<<8|t1
+  std::unordered_map<int32_t, Encoding> tag_encodings;   // key: itf8 tag id
+
+  static uint32_t skey(const char* k) {
+    return ((uint32_t)(uint8_t)k[0] << 8) | (uint8_t)k[1];
+  }
+
+  void parse(const uint8_t* d, size_t len) {
+    size_t off = 0;
+    (void)read_itf8(d, len, off);  // pres map size
+    int32_t nkeys = read_itf8(d, len, off);
+    for (int32_t i = 0; i < nkeys; ++i) {
+      char k0 = (char)d[off], k1 = (char)d[off + 1];
+      off += 2;
+      if ((k0 == 'R' && k1 == 'N') || (k0 == 'A' && k1 == 'P') ||
+          (k0 == 'R' && k1 == 'R')) {
+        bool v = d[off++] != 0;
+        if (k0 == 'R' && k1 == 'N') pres_RN = v;
+        else if (k0 == 'A') pres_AP = v;
+        else pres_RR = v;
+      } else if (k0 == 'S' && k1 == 'M') {
+        memcpy(sub_matrix, d + off, 5);
+        off += 5;
+      } else if (k0 == 'T' && k1 == 'D') {
+        int32_t blen = read_itf8(d, len, off);
+        const uint8_t* blob = d + off;
+        off += (size_t)blen;
+        tag_dict.clear();
+        size_t p = 0;
+        // NUL-terminated lines of 3-byte (tag,tag,type) triples
+        size_t blob_len = (size_t)blen;
+        if (blob_len > 0 && blob[blob_len - 1] != 0) {
+          // no trailing NUL: treat the remainder as one final line
+        }
+        std::vector<TagDef> line;
+        while (p < blob_len) {
+          if (blob[p] == 0) {
+            tag_dict.push_back(line);
+            line.clear();
+            ++p;
+          } else if (p + 3 <= blob_len) {
+            line.push_back({(char)blob[p], (char)blob[p + 1],
+                            (char)blob[p + 2]});
+            p += 3;
+          } else {
+            break;
+          }
+        }
+        if (!line.empty()) tag_dict.push_back(line);
+        if (tag_dict.empty()) tag_dict.push_back({});
+      } else {
+        throw CramError(std::string("preservation key ") + k0 + k1);
+      }
+    }
+    (void)read_itf8(d, len, off);  // encodings size
+    int32_t n = read_itf8(d, len, off);
+    for (int32_t i = 0; i < n; ++i) {
+      uint32_t key = ((uint32_t)d[off] << 8) | d[off + 1];
+      off += 2;
+      int32_t codec = read_itf8(d, len, off);
+      int32_t plen = read_itf8(d, len, off);
+      encodings[key].parse(codec, d + off, (size_t)plen);
+      off += (size_t)plen;
+    }
+    (void)read_itf8(d, len, off);  // tag encodings size
+    n = read_itf8(d, len, off);
+    for (int32_t i = 0; i < n; ++i) {
+      int32_t tkey = read_itf8(d, len, off);
+      int32_t codec = read_itf8(d, len, off);
+      int32_t plen = read_itf8(d, len, off);
+      tag_encodings[tkey].parse(codec, d + off, (size_t)plen);
+      off += (size_t)plen;
+    }
+  }
+
+  uint8_t sub_base(uint8_t ref_base, int code) const {
+    static const char bases[] = "ACGTN";
+    int ri = 4;
+    for (int i = 0; i < 5; ++i)
+      if ((uint8_t)bases[i] == ref_base) { ri = i; break; }
+    uint8_t byte = sub_matrix[ri];
+    int k = 0;
+    for (int i = 0; i < 5; ++i) {
+      if (i == ri) continue;
+      if (((byte >> (6 - 2 * k)) & 3) == code) return (uint8_t)bases[i];
+      ++k;
+    }
+    return (uint8_t)'N';
+  }
+};
+
+// ---------------------------------------------------------------------------
+// reference fetch (FASTA + .fai, with per-chromosome uppercased cache)
+
+struct FastaRef {
+  struct Chrom {
+    int64_t length = 0, offset = 0, linebases = 0, linewidth = 0;
+  };
+  std::vector<uint8_t> raw;  // whole FASTA file
+  std::unordered_map<std::string, Chrom> chroms;
+  std::vector<std::string> order;
+  std::unordered_map<int32_t, std::vector<uint8_t>> cache;  // tid -> seq
+  std::mutex mu;
+  bool ok = false;
+
+  void load(const char* path) {
+    if (!path || !*path) return;
+    FILE* f = fopen(path, "rb");
+    if (!f) return;
+    fseek(f, 0, SEEK_END);
+    long sz = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    raw.resize((size_t)sz);
+    if (fread(raw.data(), 1, (size_t)sz, f) != (size_t)sz) {
+      fclose(f);
+      return;
+    }
+    fclose(f);
+    std::string fai = std::string(path) + ".fai";
+    FILE* fi = fopen(fai.c_str(), "rb");
+    if (!fi) return;
+    char line[4096];
+    while (fgets(line, sizeof line, fi)) {
+      Chrom c;
+      char name[2048];
+      if (sscanf(line, "%2047s\t%ld\t%ld\t%ld\t%ld", name, &c.length,
+                 &c.offset, &c.linebases, &c.linewidth) == 5) {
+        chroms[name] = c;
+        order.push_back(name);
+      }
+    }
+    fclose(fi);
+    ok = !chroms.empty();
+  }
+
+  // sequence of `name`, uppercased, newlines stripped (nullptr if absent)
+  const std::vector<uint8_t>* chrom_seq(int32_t tid, const std::string& name) {
+    std::lock_guard<std::mutex> lk(mu);
+    auto it = cache.find(tid);
+    if (it != cache.end()) return &it->second;
+    auto ci = chroms.find(name);
+    if (ci == chroms.end()) return nullptr;
+    const Chrom& c = ci->second;
+    std::vector<uint8_t> seq;
+    seq.reserve((size_t)c.length);
+    int64_t remaining = c.length;
+    int64_t off = c.offset;
+    while (remaining > 0 && (size_t)off < raw.size()) {
+      int64_t n = std::min(remaining, c.linebases);
+      for (int64_t k = 0; k < n && (size_t)(off + k) < raw.size(); ++k) {
+        uint8_t b = raw[(size_t)(off + k)];
+        seq.push_back(b >= 'a' && b <= 'z' ? b - 32 : b);
+      }
+      remaining -= n;
+      off += c.linewidth;
+    }
+    auto [jt, _] = cache.emplace(tid, std::move(seq));
+    return &jt->second;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// BAM record synthesis (mirrors vartrix_tpu/io/bam_writer.encode_record)
+
+const char SEQ_NT16[] = "=ACMGRSVTWYHKDBN";
+
+struct Nt16Lut {
+  uint8_t t[256];
+  Nt16Lut() {
+    memset(t, 15, sizeof t);
+    for (int i = 0; i < 16; ++i) t[(uint8_t)SEQ_NT16[i]] = (uint8_t)i;
+  }
+};
+const Nt16Lut NT16_LUT;
+
+inline int seq_nt16_idx(uint8_t c) { return NT16_LUT.t[c]; }
+
+uint16_t reg2bin(int64_t b, int64_t e) {
+  e -= 1;
+  if (b >> 14 == e >> 14) return (uint16_t)(((1 << 15) - 1) / 7 + (b >> 14));
+  if (b >> 17 == e >> 17) return (uint16_t)(((1 << 12) - 1) / 7 + (b >> 17));
+  if (b >> 20 == e >> 20) return (uint16_t)(((1 << 9) - 1) / 7 + (b >> 20));
+  if (b >> 23 == e >> 23) return (uint16_t)(((1 << 6) - 1) / 7 + (b >> 23));
+  if (b >> 26 == e >> 26) return (uint16_t)(((1 << 3) - 1) / 7 + (b >> 26));
+  return 0;
+}
+
+void put_i32(std::vector<uint8_t>& v, int32_t x) {
+  size_t n = v.size();
+  v.resize(n + 4);
+  memcpy(v.data() + n, &x, 4);
+}
+
+void put_u32(std::vector<uint8_t>& v, uint32_t x) {
+  size_t n = v.size();
+  v.resize(n + 4);
+  memcpy(v.data() + n, &x, 4);
+}
+
+void put_u16(std::vector<uint8_t>& v, uint16_t x) {
+  size_t n = v.size();
+  v.resize(n + 2);
+  memcpy(v.data() + n, &x, 2);
+}
+
+// ---------------------------------------------------------------------------
+// slice record decoding
+
+struct CigOp {
+  uint8_t op;
+  int32_t len;
+};
+
+struct TagVal {
+  char t0, t1;
+  std::vector<uint8_t> val;  // Z-string payload (no NUL)
+};
+
+constexpr int BF_UNMAPPED = 0x4;
+constexpr int CF_QS_STORED = 0x1;
+constexpr int CF_DETACHED = 0x2;
+constexpr int CF_MATE_DOWNSTREAM = 0x4;
+
+struct SliceCtx {
+  const CompressionHeader* ch;
+  BitReader core;
+  std::unordered_map<int32_t, ExtStream> ext;
+  // embedded reference for this slice (or none)
+  const uint8_t* emb = nullptr;
+  size_t emb_len = 0;
+  int32_t emb_ref = -1;
+  int64_t slice_start0 = 0;
+  FastaRef* fasta = nullptr;
+  const std::vector<std::string>* ref_names = nullptr;
+
+  const Encoding& enc(const char* key) const {
+    auto it = ch->encodings.find(CompressionHeader::skey(key));
+    if (it == ch->encodings.end())
+      throw CramError(std::string("missing data series encoding ") + key);
+    return it->second;
+  }
+  int32_t rint(const char* key) { return enc(key).read_int(core, ext); }
+  uint8_t rbyte(const char* key) { return enc(key).read_byte(core, ext); }
+  void rbytes(const char* key, int32_t n_hint, std::vector<uint8_t>& out) {
+    enc(key).read_bytes(n_hint, core, ext, out);
+  }
+
+  // fetch [s, e) of reference ri into out (uppercased; 'N' when absent)
+  void ref_fetch(int32_t ri, int64_t s, int64_t e, uint8_t* out) {
+    int64_t n = e - s;
+    if (n <= 0) return;
+    const uint8_t* src = nullptr;
+    size_t src_len = 0;
+    int64_t base = s;
+    if (emb && ri == emb_ref) {
+      src = emb;
+      src_len = emb_len;
+      base = s - slice_start0;
+    } else if (fasta && fasta->ok && ri >= 0 &&
+               (size_t)ri < ref_names->size()) {
+      const std::vector<uint8_t>* seq = fasta->chrom_seq(ri, (*ref_names)[ri]);
+      if (seq) {
+        src = seq->data();
+        src_len = seq->size();
+      }
+    }
+    if (src && base >= 0 && (size_t)(base + n) <= src_len) {
+      memcpy(out, src + base, (size_t)n);  // fast path: fully in range
+      return;
+    }
+    for (int64_t k = 0; k < n; ++k) {
+      int64_t p = base + k;
+      out[k] = (src && p >= 0 && (size_t)p < src_len) ? src[p] : 'N';
+    }
+  }
+};
+
+// Decode n_records of one slice, appending BAM records to `out`.
+void decode_slice_records(SliceCtx& sc, int32_t slice_ref,
+                          int64_t slice_start, int32_t n_records,
+                          std::vector<uint8_t>& out) {
+  const CompressionHeader& ch = *sc.ch;
+  int64_t last_pos = slice_start;
+  std::vector<uint8_t> name, tmp, seq, qual;
+  std::vector<CigOp> cigar;
+  std::vector<TagVal> tags;
+  std::vector<std::pair<uint8_t, int64_t>> feats;
+
+  for (int32_t rec = 0; rec < n_records; ++rec) {
+    int32_t bf = sc.rint("BF");
+    int32_t cf = sc.rint("CF");
+    int32_t ri = (slice_ref == -2) ? sc.rint("RI") : slice_ref;
+    int32_t read_len = sc.rint("RL");
+    int32_t ap = sc.rint("AP");
+    int64_t pos1 = ch.pres_AP ? last_pos + ap : ap;
+    last_pos = pos1;
+    int64_t pos0 = pos1 - 1;
+    (void)sc.rint("RG");
+    name.clear();
+    if (ch.pres_RN) sc.rbytes("RN", -1, name);
+    if (cf & CF_DETACHED) {
+      (void)sc.rint("MF");
+      if (!ch.pres_RN) sc.rbytes("RN", -1, name);
+      (void)sc.rint("NS");
+      (void)sc.rint("NP");
+      (void)sc.rint("TS");
+    } else if (cf & CF_MATE_DOWNSTREAM) {
+      (void)sc.rint("NF");
+    }
+    int32_t tl = sc.rint("TL");
+    tags.clear();
+    if (tl < 0 || (size_t)tl >= ch.tag_dict.size())
+      throw CramError("TL out of range");
+    for (const TagDef& td : ch.tag_dict[tl]) {
+      int32_t tkey = ((int32_t)(uint8_t)td.t0 << 16) |
+                     ((int32_t)(uint8_t)td.t1 << 8) | (uint8_t)td.typ;
+      auto it = ch.tag_encodings.find(tkey);
+      if (it == ch.tag_encodings.end())
+        throw CramError("missing tag encoding");
+      it->second.read_bytes(-1, sc.core, sc.ext, tmp);
+      if (td.typ == 'Z') tags.push_back({td.t0, td.t1, tmp});
+    }
+    seq.assign((size_t)read_len, 0);
+    qual.assign((size_t)read_len, 0xFF);
+    cigar.clear();
+    uint8_t mapq = 0;
+    if (!(bf & BF_UNMAPPED)) {
+      int32_t fn = sc.rint("FN");
+      feats.clear();
+      int64_t fpos = 0;
+      for (int32_t k = 0; k < fn; ++k) {
+        uint8_t fc = sc.rbyte("FC");
+        fpos += sc.rint("FP");
+        feats.push_back({fc, fpos});
+      }
+      int64_t rp = 1;       // 1-based read position
+      int64_t ref_p = pos0;  // 0-based reference position
+      auto add_cigar = [&](uint8_t op, int64_t ln) {
+        if (ln <= 0) return;
+        if (!cigar.empty() && cigar.back().op == op)
+          cigar.back().len += (int32_t)ln;
+        else
+          cigar.push_back({op, (int32_t)ln});
+      };
+      auto copy_ref = [&](int64_t upto) {
+        int64_t n = upto - rp;
+        if (n <= 0) return;
+        sc.ref_fetch(ri, ref_p, ref_p + n, seq.data() + (rp - 1));
+        add_cigar(0, n);
+        rp += n;
+        ref_p += n;
+      };
+      for (auto& [fc, fp] : feats) {
+        copy_ref(fp);
+        switch ((char)fc) {
+          case 'b': {
+            sc.rbytes("BB", -1, tmp);
+            memcpy(seq.data() + (rp - 1), tmp.data(), tmp.size());
+            add_cigar(0, (int64_t)tmp.size());
+            rp += (int64_t)tmp.size();
+            ref_p += (int64_t)tmp.size();
+            break;
+          }
+          case 'X': {
+            int code = sc.rbyte("BS");
+            uint8_t refb;
+            sc.ref_fetch(ri, ref_p, ref_p + 1, &refb);
+            seq[(size_t)(rp - 1)] = ch.sub_base(refb, code);
+            add_cigar(0, 1);
+            ++rp;
+            ++ref_p;
+            break;
+          }
+          case 'B':
+            seq[(size_t)(rp - 1)] = sc.rbyte("BA");
+            qual[(size_t)(rp - 1)] = sc.rbyte("QS");
+            add_cigar(0, 1);
+            ++rp;
+            ++ref_p;
+            break;
+          case 'i':
+            seq[(size_t)(rp - 1)] = sc.rbyte("BA");
+            add_cigar(1, 1);
+            ++rp;
+            break;
+          case 'I': {
+            sc.rbytes("IN", -1, tmp);
+            memcpy(seq.data() + (rp - 1), tmp.data(), tmp.size());
+            add_cigar(1, (int64_t)tmp.size());
+            rp += (int64_t)tmp.size();
+            break;
+          }
+          case 'S': {
+            sc.rbytes("SC", -1, tmp);
+            memcpy(seq.data() + (rp - 1), tmp.data(), tmp.size());
+            add_cigar(4, (int64_t)tmp.size());
+            rp += (int64_t)tmp.size();
+            break;
+          }
+          case 'D': {
+            int32_t dl = sc.rint("DL");
+            add_cigar(2, dl);
+            ref_p += dl;
+            break;
+          }
+          case 'N': {
+            int32_t ln = sc.rint("RS");
+            add_cigar(3, ln);
+            ref_p += ln;
+            break;
+          }
+          case 'P':
+            add_cigar(6, sc.rint("PD"));
+            break;
+          case 'H':
+            add_cigar(5, sc.rint("HC"));
+            break;
+          case 'q': {
+            sc.rbytes("QQ", -1, tmp);
+            memcpy(qual.data() + (rp - 1), tmp.data(), tmp.size());
+            break;
+          }
+          case 'Q':
+            qual[(size_t)(rp - 1)] = sc.rbyte("QS");
+            break;
+          default:
+            throw CramError(std::string("CRAM feature ") + (char)fc);
+        }
+      }
+      copy_ref(read_len + 1);
+      mapq = (uint8_t)sc.rint("MQ");
+      if (cf & CF_QS_STORED) sc.rbytes("QS", read_len, qual);
+    } else {
+      for (int32_t k = 0; k < read_len; ++k) seq[(size_t)k] = sc.rbyte("BA");
+      cigar.clear();
+      if (cf & CF_QS_STORED) sc.rbytes("QS", read_len, qual);
+    }
+
+    // --- BAM record encode (mirrors bam_writer.encode_record) ---
+    const uint8_t* qn = name.empty() ? (const uint8_t*)"*" : name.data();
+    size_t qn_len = name.empty() ? 1 : name.size();
+    int64_t ref_consumed = 0;
+    for (auto& c : cigar)
+      if (c.op == 0 || c.op == 2 || c.op == 3 || c.op == 7 || c.op == 8)
+        ref_consumed += c.len;
+    int64_t end = pos0 + std::max<int64_t>(ref_consumed, 1);
+    size_t rec_start = out.size();
+    put_i32(out, 0);  // block_size placeholder
+    put_i32(out, ri);
+    put_i32(out, (int32_t)pos0);
+    out.push_back((uint8_t)(qn_len + 1));
+    out.push_back(mapq);
+    put_u16(out, reg2bin(pos0, end));
+    put_u16(out, (uint16_t)cigar.size());
+    put_u16(out, (uint16_t)bf);
+    put_i32(out, read_len);
+    put_i32(out, -1);
+    put_i32(out, -1);
+    put_i32(out, 0);
+    out.insert(out.end(), qn, qn + qn_len);
+    out.push_back(0);
+    for (auto& c : cigar) put_u32(out, ((uint32_t)c.len << 4) | c.op);
+    // 4-bit packed sequence
+    size_t sp = out.size();
+    out.resize(sp + ((size_t)read_len + 1) / 2, 0);
+    for (int32_t s = 0; s < read_len; ++s) {
+      int nib = seq_nt16_idx(seq[(size_t)s]);
+      if ((s & 1) == 0)
+        out[sp + (size_t)(s >> 1)] |= (uint8_t)(nib << 4);
+      else
+        out[sp + (size_t)(s >> 1)] |= (uint8_t)nib;
+    }
+    if (qual.size() == (size_t)read_len)
+      out.insert(out.end(), qual.begin(), qual.end());
+    else
+      out.insert(out.end(), (size_t)read_len, 30);
+    for (auto& t : tags) {
+      out.push_back((uint8_t)t.t0);
+      out.push_back((uint8_t)t.t1);
+      out.push_back('Z');
+      out.insert(out.end(), t.val.begin(), t.val.end());
+      out.push_back(0);
+    }
+    int32_t bs = (int32_t)(out.size() - rec_start - 4);
+    memcpy(out.data() + rec_start, &bs, 4);
+  }
+}
+
+// Decode every slice of the data container at `off` into BAM records.
+void decode_container(const uint8_t* raw, size_t len, size_t off,
+                      FastaRef* fasta,
+                      const std::vector<std::string>* ref_names,
+                      std::vector<uint8_t>& out) {
+  size_t hoff = off + 4;  // skip length
+  (void)read_itf8(raw, len, hoff);  // ref_id
+  (void)read_itf8(raw, len, hoff);  // start
+  (void)read_itf8(raw, len, hoff);  // span
+  (void)read_itf8(raw, len, hoff);  // n_rec
+  (void)read_ltf8(raw, len, hoff);  // counter
+  (void)read_ltf8(raw, len, hoff);  // bases
+  int32_t n_blocks = read_itf8(raw, len, hoff);
+  int32_t n_land = read_itf8(raw, len, hoff);
+  for (int32_t i = 0; i < n_land; ++i) (void)read_itf8(raw, len, hoff);
+  hoff += 4;  // crc
+  std::vector<CBlock> blocks(n_blocks);
+  for (int32_t i = 0; i < n_blocks; ++i) hoff = read_block(raw, len, hoff, blocks[i]);
+  if (blocks.empty() || blocks[0].content_type != CT_COMP_HEADER) return;
+  CompressionHeader ch;
+  ch.parse(blocks[0].data.data(), blocks[0].data.size());
+  size_t bi = 1;
+  while (bi < blocks.size()) {
+    if (blocks[bi].content_type != CT_SLICE_HEADER) {
+      ++bi;
+      continue;
+    }
+    const std::vector<uint8_t>& sh = blocks[bi].data;
+    size_t soff = 0;
+    int32_t s_ref = read_itf8(sh.data(), sh.size(), soff);
+    int32_t s_start = read_itf8(sh.data(), sh.size(), soff);
+    (void)read_itf8(sh.data(), sh.size(), soff);  // span
+    int32_t s_nrec = read_itf8(sh.data(), sh.size(), soff);
+    (void)read_ltf8(sh.data(), sh.size(), soff);  // counter
+    int32_t s_nblocks = read_itf8(sh.data(), sh.size(), soff);
+    int32_t n_ids = read_itf8(sh.data(), sh.size(), soff);
+    for (int32_t i = 0; i < n_ids; ++i)
+      (void)read_itf8(sh.data(), sh.size(), soff);
+    int32_t emb_ref_id = read_itf8(sh.data(), sh.size(), soff);
+    ++bi;
+    SliceCtx sc;
+    sc.ch = &ch;
+    sc.fasta = fasta;
+    sc.ref_names = ref_names;
+    sc.slice_start0 = s_start - 1;
+    for (int32_t k = 0; k < s_nblocks; ++k) {
+      CBlock& blk = blocks[bi + (size_t)k];
+      if (blk.content_type == CT_CORE) {
+        sc.core.data = blk.data.data();
+        sc.core.len = blk.data.size();
+      } else if (blk.content_type == CT_EXTERNAL) {
+        if (blk.content_id == emb_ref_id && emb_ref_id >= 0) {
+          sc.emb = blk.data.data();
+          sc.emb_len = blk.data.size();
+          sc.emb_ref = s_ref;
+        }
+        ExtStream& es = sc.ext[blk.content_id];
+        es.data = blk.data.data();
+        es.len = blk.data.size();
+      }
+    }
+    bi += (size_t)s_nblocks;
+    decode_slice_records(sc, s_ref, s_start, s_nrec, out);
+  }
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+
+struct CramBam {
+  std::vector<uint8_t> bam;  // raw BAM stream: magic+header+refs+records
+  std::string error;
+  int64_t n_records = 0;  // decoded container count actually (informational)
+};
+
+extern "C" {
+
+// Decode a CRAM file (optionally only the containers at `offsets`) into a
+// raw BAM byte stream. fasta_path supplies the reference (may be empty —
+// unresolved reference bases become 'N', matching the Python oracle).
+CramBam* cram_decode(const char* path, const char* fasta_path,
+                     const int64_t* offsets, int64_t n_offsets,
+                     int n_threads) {
+  auto* h = new CramBam();
+  try {
+    FILE* f = fopen(path, "rb");
+    if (!f) throw CramError("cannot open file");
+    fseek(f, 0, SEEK_END);
+    long fsize = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> raw((size_t)fsize);
+    if (fread(raw.data(), 1, (size_t)fsize, f) != (size_t)fsize) {
+      fclose(f);
+      throw CramError("short read");
+    }
+    fclose(f);
+    if (raw.size() < 26 || memcmp(raw.data(), "CRAM", 4) != 0)
+      throw CramError("not a CRAM file");
+    if (raw[4] != 3) throw CramError("unsupported CRAM major version");
+    size_t off = 26;
+    // file header container -> SAM text
+    {
+      size_t hoff = off + 4;
+      for (int i = 0; i < 4; ++i) (void)read_itf8(raw.data(), raw.size(), hoff);
+      (void)read_ltf8(raw.data(), raw.size(), hoff);
+      (void)read_ltf8(raw.data(), raw.size(), hoff);
+      int32_t n_blocks = read_itf8(raw.data(), raw.size(), hoff);
+      int32_t n_land = read_itf8(raw.data(), raw.size(), hoff);
+      for (int32_t i = 0; i < n_land; ++i)
+        (void)read_itf8(raw.data(), raw.size(), hoff);
+      hoff += 4;
+      CBlock hb;
+      hoff = read_block(raw.data(), raw.size(), hoff, hb);
+      for (int32_t i = 1; i < n_blocks; ++i)
+        hoff = skip_block(raw.data(), raw.size(), hoff);
+      off = hoff;
+      // SAM text (htslib may prefix an int32 length)
+      const uint8_t* txt = hb.data.data();
+      size_t tlen = hb.data.size();
+      if (tlen >= 4) {
+        int32_t pfx;
+        memcpy(&pfx, txt, 4);
+        if (pfx >= 0 && (size_t)pfx <= tlen - 4) {
+          txt += 4;
+          tlen = (size_t)pfx;
+        }
+      }
+      // parse @SQ lines -> BAM header
+      std::vector<std::pair<std::string, int64_t>> refs;
+      size_t p = 0;
+      while (p < tlen) {
+        size_t e = p;
+        while (e < tlen && txt[e] != '\n') ++e;
+        if (e - p >= 3 && memcmp(txt + p, "@SQ", 3) == 0) {
+          std::string name;
+          int64_t ln = 0;
+          size_t q = p;
+          while (q < e) {
+            size_t t = q;
+            while (t < e && txt[t] != '\t') ++t;
+            if (t - q >= 3 && memcmp(txt + q, "SN:", 3) == 0)
+              name.assign((const char*)txt + q + 3, t - q - 3);
+            else if (t - q >= 3 && memcmp(txt + q, "LN:", 3) == 0)
+              ln = atoll(std::string((const char*)txt + q + 3, t - q - 3).c_str());
+            q = t + 1;
+          }
+          if (!name.empty()) refs.push_back({name, ln});
+        }
+        p = e + 1;
+      }
+      // emit BAM header
+      h->bam.insert(h->bam.end(), {'B', 'A', 'M', 1});
+      put_i32(h->bam, (int32_t)tlen);
+      h->bam.insert(h->bam.end(), txt, txt + tlen);
+      put_i32(h->bam, (int32_t)refs.size());
+      std::vector<std::string> names;
+      for (auto& [nm, ln] : refs) {
+        put_i32(h->bam, (int32_t)nm.size() + 1);
+        h->bam.insert(h->bam.end(), nm.begin(), nm.end());
+        h->bam.push_back(0);
+        put_i32(h->bam, (int32_t)ln);
+        names.push_back(nm);
+      }
+
+      // container offsets
+      std::vector<size_t> conts;
+      if (offsets && n_offsets > 0) {
+        for (int64_t i = 0; i < n_offsets; ++i)
+          conts.push_back((size_t)offsets[i]);
+      } else {
+        size_t o = off;
+        while (o < raw.size()) {
+          if (o + sizeof(CRAM_EOF) <= raw.size() &&
+              memcmp(raw.data() + o, CRAM_EOF, sizeof(CRAM_EOF)) == 0)
+            break;
+          conts.push_back(o);
+          size_t ho = o + 4;
+          for (int i = 0; i < 4; ++i)
+            (void)read_itf8(raw.data(), raw.size(), ho);
+          (void)read_ltf8(raw.data(), raw.size(), ho);
+          (void)read_ltf8(raw.data(), raw.size(), ho);
+          int32_t nb = read_itf8(raw.data(), raw.size(), ho);
+          int32_t nl = read_itf8(raw.data(), raw.size(), ho);
+          for (int32_t i = 0; i < nl; ++i)
+            (void)read_itf8(raw.data(), raw.size(), ho);
+          ho += 4;
+          for (int32_t i = 0; i < nb; ++i)
+            ho = skip_block(raw.data(), raw.size(), ho);
+          o = ho;
+        }
+      }
+      h->n_records = (int64_t)conts.size();
+
+      // shared reference
+      FastaRef fasta;
+      fasta.load(fasta_path);
+
+      // parallel decode: each container into its own buffer
+      std::vector<std::vector<uint8_t>> bufs(conts.size());
+      std::atomic<bool> failed(false);
+      std::string fail_msg;
+      std::mutex fail_mu;
+      int nt = std::max(n_threads, 1);
+      std::vector<std::thread> pool;
+      std::atomic<size_t> next(0);
+      auto worker = [&] {
+        while (true) {
+          size_t i = next.fetch_add(1);
+          if (i >= conts.size() || failed.load()) return;
+          try {
+            decode_container(raw.data(), raw.size(), conts[i], &fasta,
+                             &names, bufs[i]);
+          } catch (const std::exception& e) {
+            std::lock_guard<std::mutex> lk(fail_mu);
+            fail_msg = e.what();
+            failed = true;
+            return;
+          }
+        }
+      };
+      for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+      for (auto& th : pool) th.join();
+      if (failed) throw CramError(fail_msg);
+      size_t total = h->bam.size();
+      for (auto& b : bufs) total += b.size();
+      h->bam.reserve(total);
+      for (auto& b : bufs) {
+        h->bam.insert(h->bam.end(), b.begin(), b.end());
+        b.clear();
+        b.shrink_to_fit();
+      }
+    }
+  } catch (const std::exception& e) {
+    h->error = e.what();
+  }
+  return h;
+}
+
+const uint8_t* cram_bam_data(CramBam* h) { return h->bam.data(); }
+int64_t cram_bam_len(CramBam* h) { return (int64_t)h->bam.size(); }
+const char* cram_bam_error(CramBam* h) { return h->error.c_str(); }
+void cram_bam_free(CramBam* h) { delete h; }
+
+}  // extern "C"

@@ -373,6 +373,47 @@ GioBam* gio_bam_load(const char* path, const char* cb_tag, int n_threads) {
   return h;
 }
 
+// Decode a RAW (non-BGZF) BAM byte stream from memory into the columnar
+// arrays — consumed by the native CRAM decoder (libcramio emits exactly
+// this layout), avoiding any temp-file round trip.
+GioBam* gio_bam_load_bytes(const uint8_t* data, int64_t len,
+                           const char* cb_tag, int n_threads) {
+  auto* h = new GioBam();
+  if (len < 12 || memcmp(data, "BAM\x01", 4) != 0) {
+    h->error = "not a BAM stream";
+    return h;
+  }
+  int32_t l_text;
+  memcpy(&l_text, data + 4, 4);
+  size_t off = 8 + (size_t)l_text;
+  int32_t n_ref;
+  memcpy(&n_ref, data + off, 4);
+  off += 4;
+  for (int32_t i = 0; i < n_ref; ++i) {
+    int32_t l_name;
+    memcpy(&l_name, data + off, 4);
+    std::string name((const char*)data + off + 4, (size_t)l_name - 1);
+    int32_t l_ref;
+    memcpy(&l_ref, data + off + 4 + l_name, 4);
+    h->refs.push_back({name, l_ref});
+    off += 8 + l_name;
+  }
+  std::vector<const uint8_t*> rec_ptr;
+  {
+    size_t p = off;
+    while (p + 4 <= (size_t)len) {
+      int32_t bs;
+      memcpy(&bs, data + p, 4);
+      if (bs <= 0 || p + 4 + (size_t)bs > (size_t)len) break;
+      rec_ptr.push_back(data + p);
+      p += 4 + (size_t)bs;
+    }
+  }
+  decode_records(h, rec_ptr.data(), (int64_t)rec_ptr.size(), cb_tag,
+                 n_threads);
+  return h;
+}
+
 // Streaming whole-file loader: identical output to gio_bam_load, but the
 // file is processed in bounded segments — read a batch of raw blocks,
 // inflate them in parallel, decode the complete records they contain into

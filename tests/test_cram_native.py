@@ -1,0 +1,144 @@
+"""Native CRAM decoder (native/cramio.cpp) cross-validated against the
+Python oracle (vartrix_tpu/io/cram.py), container-for-container: the
+columnar arrays produced via libcramio's BAM stream must equal those
+produced via the Python transcode path, on both the verbatim ('b'
+features, no reference) and reference-based ('X' substitutions) writer
+profiles, plus the .crai region plan.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from vartrix_tpu.io.bam import BamReader
+from vartrix_tpu.io.bam_native import (ColumnarBam, cram_decode_native,
+                                       get_cram_lib)
+from vartrix_tpu.io.cram import CramReader, transcode_to_bam, write_cram
+from vartrix_tpu.utils.synth import SynthConfig, generate_dataset
+
+pytestmark = pytest.mark.skipif(get_cram_lib() is None,
+                                reason="libcramio unavailable")
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cramnat")
+    return generate_dataset(str(d / "s"), SynthConfig(
+        n_variants=30, n_cells=80, reads_per_variant=40, seed=9,
+        spliced_frac=0.4))
+
+
+def _columns_equal(a: ColumnarBam, b: ColumnarBam):
+    assert a.n == b.n
+    assert a.ref_names == b.ref_names
+    assert a.ref_lens == b.ref_lens
+    for f in ("tid", "pos", "ref_end", "mapq", "flag", "seq_off",
+              "seq_pool", "itv_off", "itv_pool", "cb_off", "cb_pool",
+              "ub_off", "ub_pool"):
+        np.testing.assert_array_equal(getattr(a, f), getattr(b, f),
+                                      err_msg=f"column {f}")
+
+
+def _cram_native_vs_python(cram, fasta, tmp_path, tag):
+    data = cram_decode_native(cram, fasta)
+    nat = ColumnarBam(cram, bam_bytes=data)
+    pybam = str(tmp_path / f"py_{tag}.bam")
+    transcode_to_bam(cram, pybam, fasta)
+    ref = ColumnarBam(pybam)
+    _columns_equal(nat, ref)
+    return nat
+
+
+def test_native_matches_python_verbatim(dataset, tmp_path):
+    b = BamReader(dataset["bam"])
+    cram = str(tmp_path / "v.cram")
+    write_cram(cram, list(zip(b.ref_names, b.ref_lens)), b.records())
+    _cram_native_vs_python(cram, None, tmp_path, "v")
+
+
+def test_native_matches_python_refbased(dataset, tmp_path):
+    b = BamReader(dataset["bam"])
+    cram = str(tmp_path / "r.cram")
+    write_cram(cram, list(zip(b.ref_names, b.ref_lens)), b.records(),
+               fasta_path=dataset["fasta"])
+    nat = _cram_native_vs_python(cram, dataset["fasta"], tmp_path, "r")
+    # and the round trip preserves the original BAM columns
+    orig = ColumnarBam(dataset["bam"])
+    _columns_equal(nat, orig)
+
+
+def test_native_region_decode_matches_python(dataset, tmp_path):
+    from vartrix_tpu.io.cram import write_crai
+
+    b = BamReader(dataset["bam"])
+    cram = str(tmp_path / "g.cram")
+    write_cram(cram, list(zip(b.ref_names, b.ref_lens)), b.records(),
+               records_per_container=300, fasta_path=dataset["fasta"])
+    write_crai(cram, fasta_path=dataset["fasta"])
+    cr = CramReader(cram, dataset["fasta"])
+    loci = [(b.ref_names[0], 0, 5000)]
+    offs = cr.containers_for_loci(loci)
+    assert offs is not None and 0 < len(offs) < len(cr.container_offsets())
+    data = cram_decode_native(cram, dataset["fasta"], offsets=offs)
+    nat = ColumnarBam(cram, bam_bytes=data)
+    # oracle: records of the same containers via the Python reader
+    n_py = sum(1 for _ in cr.records_for_containers(offs))
+    assert nat.n == n_py
+
+
+def test_native_cram_cli_golden(tmp_path):
+    """Full pipeline over CRAM input (native decode) == BAM golden."""
+    from vartrix_tpu.driver import _main
+    from vartrix_tpu.io.matrix_market import read_matrix_market
+
+    T = "/root/reference/test"
+    b = BamReader(f"{T}/test.bam")
+    from vartrix_tpu.io.cram import write_crai
+
+    cram = str(tmp_path / "t.cram")
+    write_cram(cram, list(zip(b.ref_names, b.ref_lens)), b.records(),
+               fasta_path=f"{T}/test.fa")
+    write_crai(cram, fasta_path=f"{T}/test.fa")
+    out = str(tmp_path / "out.mtx")
+    _main(["-v", f"{T}/test.vcf", "-b", cram, "-f", f"{T}/test.fa",
+           "-c", f"{T}/barcodes.tsv", "-o", out,
+           "--host", "native", "--backend", "cpu", "--fetch", "whole"])
+    a = read_matrix_market(out).to_canonical()
+    g = read_matrix_market(f"{T}/test_consensus.mtx").to_canonical()
+    assert a == g
+
+
+@pytest.mark.parametrize("method", ["rans0", "rans1"])
+def test_native_rans_blocks(dataset, tmp_path, method):
+    # htslib's default block method is rANS 4x8; exercise the native
+    # decoder on both orders via our encoder
+    b = BamReader(dataset["bam"])
+    cram = str(tmp_path / f"{method}.cram")
+    write_cram(cram, list(zip(b.ref_names, b.ref_lens)), b.records(),
+               fasta_path=dataset["fasta"], block_method=method)
+    # confirm rANS blocks are actually present in the file
+    raw = open(cram, "rb").read()
+    from vartrix_tpu.io.cram import METHOD_RANS
+    assert any(raw[i] == METHOD_RANS and raw[i + 1] == 4  # external block
+               for i in range(26, len(raw) - 1))
+    nat = _cram_native_vs_python(cram, dataset["fasta"], tmp_path, method)
+    _columns_equal(nat, ColumnarBam(dataset["bam"]))
+
+
+def test_rans_roundtrip_python():
+    import numpy as np
+    from vartrix_tpu.io.cram import rans_decode_4x8, rans_encode_4x8
+
+    rng = np.random.default_rng(3)
+    cases = [bytes(rng.integers(0, 256, 5000).astype(np.uint8)),
+             bytes(rng.integers(65, 70, 20000).astype(np.uint8)),
+             b"A" * 10000,
+             bytes(rng.choice([0, 1, 255], 3000).astype(np.uint8)),
+             bytes(range(256)) * 40,
+             b"ACGT" * 2500]
+    for order in (0, 1):
+        for raw in cases:
+            enc = rans_encode_4x8(raw, order)
+            assert enc is not None
+            assert rans_decode_4x8(enc, len(raw)) == raw

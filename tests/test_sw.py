@@ -160,3 +160,136 @@ def test_compact2_protocol_matches_plain():
     got = sw_scores_compact2_tpu(x_mat, x_idx, hap_mat, hap_idx)
     expected = sw_scores_batch_tpu_v2(x_mat[x_idx], hap_mat[hap_idx])
     np.testing.assert_array_equal(got, expected)
+
+
+def test_fused_pair_calls_match_scores():
+    # the fused score->call pair entry must return exactly
+    # codes_from_scores(pair scores) — incl. MIN_SCORE drops and ties
+    from vartrix_tpu.core.agg_numpy import codes_from_scores
+    from vartrix_tpu.ops.sw_pallas_v2 import (sw_calls_pair_tpu,
+                                              sw_scores_pair_tpu)
+
+    rng = np.random.default_rng(7)
+    R, H = 300, 40
+    lx, ly = 48, 64
+    x = rng.integers(65, 91, size=(R, lx), dtype=np.uint8)
+    # short reads (below MIN_SCORE reach) in a slice to exercise drops
+    x[:50, 8:] = 0
+    haps = rng.integers(65, 91, size=(H, ly), dtype=np.uint8)
+    # make some haplotypes contain reads exactly (high scores)
+    for i in range(0, 40, 3):
+        haps[i % H, 4 : 4 + lx - 8] = x[i, : lx - 8]
+    idx_ref = rng.integers(0, H, size=R).astype(np.int32)
+    idx_alt = rng.integers(0, H, size=R).astype(np.int32)
+    scores = sw_scores_pair_tpu(x, haps, idx_ref, idx_alt)
+    codes = sw_calls_pair_tpu(x, haps, idx_ref, idx_alt)
+    assert codes.dtype == np.int8
+    np.testing.assert_array_equal(codes, codes_from_scores(scores))
+    assert set(np.unique(codes)) <= {0, 1, 2, 3}
+
+
+def test_chained_pair_kernel_matches_oracle():
+    # v5 chained-pair kernel: one lane scores one read against ref++alt
+    # chained along y; per-problem maxima must equal independent SW
+    from vartrix_tpu.ops.sw_pallas import _on_tpu
+    from vartrix_tpu.ops.sw_pallas_v2 import _sw_pair_chained
+
+    rng = np.random.default_rng(11)
+    R = 128
+    lx, ly = 32, 48
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    x = np.zeros((R, lx), np.uint8)
+    haps = np.ones((2 * R, ly), np.uint8)
+    exp = np.zeros((2, R), np.int32)
+    for i in range(R):
+        xl = int(rng.integers(1, lx + 1))
+        x[i, :xl] = rng.choice(bases, xl)
+        for w in range(2):
+            if i == 5 and w == 1:
+                continue  # empty alt haplotype -> score 0
+            yl = int(rng.integers(1, ly + 1))
+            hap = rng.choice(bases, yl)
+            if rng.random() < 0.4 and yl > xl:
+                # embed the read (possibly mutated) for high scores that
+                # would leak across the boundary if crossing weren't killed
+                s = int(rng.integers(0, yl - xl + 1))
+                hap[s : s + xl] = x[i, :xl]
+            haps[2 * i + w, :yl] = hap
+            exp[w, i] = sw_score_single(
+                bytes(x[i, :xl]), bytes(hap.tobytes()))
+    idx2 = np.arange(2 * R, dtype=np.int32)
+    got = np.asarray(_sw_pair_chained(
+        x, haps, idx2, lx=lx, ly=ly, interpret=not _on_tpu()))
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_mixed_gap_adversarial_exactness():
+    # Round-2's kernel carried the vertical-gap F state UNSHIFTED, which
+    # admits an illegal "mixed gap" (skip 1 read base + t haplotype bases
+    # for a single gap-open) and overestimated this family by +2.
+    # Fixed round 3 (shifted-M state); keep all kernels honest here.
+    from vartrix_tpu.ops.sw_pallas_v2 import (_sw_pair_chained,
+                                              sw_scores_batch_tpu_v2)
+    from vartrix_tpu.ops.sw_pallas import _on_tpu
+
+    cases = []
+    for flank in (6, 10, 14):
+        for ins in (1, 2, 3):
+            x = b"A" * flank + b"C" + b"G" * flank
+            y = b"A" * flank + b"T" * (ins + 1) + b"G" * flank
+            cases.append((x, y))
+            cases.append((y, x))  # transposed flavor
+    exp = np.array([brute_force_sw(x, y) for x, y in cases], np.int32)
+    lxp = max(len(x) for x, _ in cases)
+    lyp = max(len(y) for _, y in cases)
+    xs, ys = pack(cases, lxp, lyp)
+    np.testing.assert_array_equal(sw_scores_batch_tpu_v2(xs, ys), exp)
+
+    # same cases through the chained-pair entry (each case as both the
+    # ref and the alt segment of a chained lane); pad the batch to one
+    # full lane group (the raw entry has no tail padding of its own)
+    R = len(cases)
+    xs_p = np.zeros((128, lxp), np.uint8)
+    xs_p[:R] = xs
+    haps = np.ones((2 * 128, lyp), np.uint8)
+    for i, (_, y) in enumerate(cases):
+        haps[2 * i, : len(y)] = np.frombuffer(y, np.uint8)
+        haps[2 * i + 1, : len(y)] = np.frombuffer(y, np.uint8)
+    got = np.asarray(_sw_pair_chained(
+        xs_p, haps, np.arange(2 * 128, dtype=np.int32),
+        lx=lxp, ly=lyp, interpret=not _on_tpu()))
+    np.testing.assert_array_equal(got[0, :R], exp)
+    np.testing.assert_array_equal(got[1, :R], exp)
+
+
+def test_chained_pair_kernel_random_indel_heavy():
+    # indel-heavy random stress for the chained kernel: reads embedded
+    # with insertions/deletions near segment boundaries
+    from vartrix_tpu.ops.sw_pallas import _on_tpu
+    from vartrix_tpu.ops.sw_pallas_v2 import _sw_pair_chained
+
+    rng = np.random.default_rng(23)
+    R = 128
+    lx, ly = 40, 56
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    x = np.zeros((R, lx), np.uint8)
+    haps = np.ones((2 * R, ly), np.uint8)
+    exp = np.zeros((2, R), np.int32)
+    for i in range(R):
+        xl = int(rng.integers(8, lx + 1))
+        x[i, :xl] = rng.choice(bases, xl)
+        for w in range(2):
+            # mutate the read into the hap with an indel
+            seq = list(x[i, :xl])
+            p = int(rng.integers(1, xl))
+            if rng.random() < 0.5:
+                seq[p : p + int(rng.integers(1, 4))] = []  # deletion
+            else:
+                seq[p:p] = list(rng.choice(bases, int(rng.integers(1, 4))))
+            hap = np.array(seq[: ly], np.uint8)
+            haps[2 * i + w, : len(hap)] = hap
+            exp[w, i] = sw_score_single(bytes(x[i, :xl]), hap.tobytes())
+    got = np.asarray(_sw_pair_chained(
+        x, haps, np.arange(2 * R, dtype=np.int32),
+        lx=lx, ly=ly, interpret=not _on_tpu()))
+    np.testing.assert_array_equal(got, exp)

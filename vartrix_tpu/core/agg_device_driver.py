@@ -18,6 +18,7 @@ from typing import List, Tuple
 import numpy as np
 
 from . import device_agg
+from .agg_numpy import _pack_shift
 
 
 def aggregate_on_device(
@@ -28,7 +29,8 @@ def aggregate_on_device(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """-> (rows, cols, ref_count, alt_count, unk_count) over all
     (variant, cell) groups that saw at least one filter-surviving read,
-    sorted by (row, col)."""
+    sorted by (row, col). scores_l entries are [n, 2] int32 scores or
+    [n] int8 fused call codes (already 0..3, same convention)."""
     n_reads = sum(len(c) for c in cells_l)
     if n_reads == 0:
         z = np.zeros(0, np.int64)
@@ -36,24 +38,27 @@ def aggregate_on_device(
     rows = np.concatenate([np.full(len(c), i, np.int64)
                            for i, c in enumerate(cells_l)])
     cells = np.concatenate(cells_l).astype(np.int64)
-    scores = np.concatenate(scores_l, axis=0)
-    ref_s = np.ascontiguousarray(scores[:, 0])
-    alt_s = np.ascontiguousarray(scores[:, 1])
-
-    calls = device_agg.calls_from_scores(ref_s, alt_s)
+    if all(s.ndim == 1 for s in scores_l):
+        calls = np.concatenate(scores_l).astype(np.int32)
+    else:
+        from .agg_numpy import as_codes
+        calls = np.concatenate(
+            [as_codes(s) for s in scores_l]).astype(np.int32)
     valid = np.ones(n_reads, dtype=bool)
 
-    cell_key = rows << 24 | cells  # cells < 2^24
+    csh = _pack_shift(cells, rows, 24)
+    cell_key = rows << csh | cells
     cg_uniq, cg = np.unique(cell_key, return_inverse=True)
     n_cg = len(cg_uniq)
 
     if use_umi:
         umis = np.concatenate(umis_l).astype(np.int64)
-        # compose from the DENSE cell-group index (< 2^32) so the key
-        # fits int64 even for huge row counts
-        ug_key = (cg.astype(np.int64) << 30) | umis  # per-file umi ids < 2^30
+        # compose from the DENSE cell-group index so the key fits int64
+        # even for huge row counts
+        ush = _pack_shift(umis, np.array([n_cg - 1], np.int64), 30)
+        ug_key = (cg.astype(np.int64) << ush) | umis
         ug_uniq, ug = np.unique(ug_key, return_inverse=True)
-        cell_of_group = (ug_uniq >> 30).astype(np.int32)
+        cell_of_group = (ug_uniq >> ush).astype(np.int32)
         counts3 = np.asarray(device_agg.umi_consensus_counts(
             calls, ug.astype(np.int32), cell_of_group,
             valid, len(ug_uniq), n_cg))
@@ -69,7 +74,7 @@ def aggregate_on_device(
         ref_c, alt_c, unk_c = counts4[:, 1], counts4[:, 2], counts4[:, 3]
 
     keep = seen > 0
-    out_rows = (cg_uniq >> 24)[keep]
-    out_cols = (cg_uniq & ((1 << 24) - 1))[keep]
+    out_rows = (cg_uniq >> csh)[keep]
+    out_cols = (cg_uniq & ((1 << csh) - 1))[keep]
     return (out_rows, out_cols, ref_c[keep].astype(np.int64),
             alt_c[keep].astype(np.int64), unk_c[keep].astype(np.int64))

@@ -111,10 +111,30 @@ def coverage_vec(cells, umis, scores2, i, use_umi):
     return seen, alt_c.astype(np.float64), ref_c.astype(np.float64)
 
 
+def codes_from_scores(scores2: np.ndarray) -> np.ndarray:
+    """int32 [n, 2] (ref, alt) scores -> int8 call codes: 0 = dropped
+    (both < MIN_SCORE), 1 = REF, 2 = ALT, 3 = UNKNOWN (tie). Host twin of
+    ops/sw_pallas_v2._sw_pair_calls (reference src/main.rs:1019-1030)."""
+    r, a = scores2[:, 0], scores2[:, 1]
+    code = np.where(r > a, 1, np.where(a > r, 2, 3)).astype(np.int8)
+    code[(r < MIN_SCORE) & (a < MIN_SCORE)] = 0
+    return code
+
+
+def as_codes(arr: np.ndarray) -> np.ndarray:
+    """Normalize a per-variant scoring result — [n, 2] scores or [n]
+    fused call codes — to int8 codes."""
+    return arr if arr.ndim == 1 else codes_from_scores(arr)
+
+
 def aggregate_flat(cells_l, umis_l, scores_l, use_umi):
     """Flat aggregation across ALL variants at once (no per-variant Python
     loop): same group-key construction as the device path, same counts
     semantics as the per-variant functions above.
+
+    scores_l entries are either [n, 2] int32 scores or [n] int8 fused
+    call codes (the production TPU path returns codes; both normalize to
+    codes here).
 
     -> (rows, cols, ref_count, alt_count, unk_count) sorted by (row, col),
     one entry per (variant, cell) group with >= 1 filter-surviving read.
@@ -126,17 +146,14 @@ def aggregate_flat(cells_l, umis_l, scores_l, use_umi):
     rows = np.concatenate([np.full(len(c), i, np.int64)
                            for i, c in enumerate(cells_l)])
     cells = np.concatenate(cells_l).astype(np.int64)
-    scores = np.concatenate(scores_l, axis=0)
-    r, a = scores[:, 0], scores[:, 1]
-    drop = (r < MIN_SCORE) & (a < MIN_SCORE)
-    call = np.where(r > a, 1, np.where(a > r, 2, -1)).astype(np.int8)
+    call = np.concatenate([as_codes(s) for s in scores_l])
 
     csh = _pack_shift(cells, rows, 24)
     cell_key = rows << csh | cells
     cg_uniq, cg = np.unique(cell_key, return_inverse=True)
     n_cg = len(cg_uniq)
 
-    kept = ~drop
+    kept = call != 0
     kcg = cg[kept]
     kcall = call[kept]
     if use_umi:
@@ -147,17 +164,17 @@ def aggregate_flat(cells_l, umis_l, scores_l, use_umi):
         nu = len(ug_uniq)
         refc = np.bincount(ug, weights=(kcall == 1), minlength=nu)
         altc = np.bincount(ug, weights=(kcall == 2), minlength=nu)
-        unkc = np.bincount(ug, weights=(kcall == -1), minlength=nu)
+        unkc = np.bincount(ug, weights=(kcall == 3), minlength=nu)
         tot = refc + altc + unkc
         # frac >= 0.75 as exact integer compare (4*c >= 3*tot)
         ucall = np.where(4 * altc >= 3 * tot, 2,
-                         np.where(4 * refc >= 3 * tot, 1, -1)).astype(np.int8)
+                         np.where(4 * refc >= 3 * tot, 1, 3)).astype(np.int8)
         gcg = (ug_uniq >> ush).astype(np.int64)
     else:
         ucall = kcall
         gcg = kcg
     ref_c = np.bincount(gcg, weights=(ucall == 1), minlength=n_cg).astype(np.int64)
     alt_c = np.bincount(gcg, weights=(ucall == 2), minlength=n_cg).astype(np.int64)
-    unk_c = np.bincount(gcg, weights=(ucall == -1), minlength=n_cg).astype(np.int64)
+    unk_c = np.bincount(gcg, weights=(ucall == 3), minlength=n_cg).astype(np.int64)
     return ((cg_uniq >> csh), (cg_uniq & ((1 << csh) - 1)),
             ref_c, alt_c, unk_c)

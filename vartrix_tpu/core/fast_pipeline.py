@@ -230,14 +230,22 @@ def _score_all_pairs(
     pair_fn,
     lx_quantum: int = 16,
     ly_quantum: int = 32,
+    codes: bool = False,
 ) -> List[np.ndarray]:
     """Read-pair scoring path: one task per (variant, read) carrying BOTH
     haplotype indices. Each read is gathered ONCE and shipped ONCE (the
     device repeats it against ref and alt), halving host gather volume and
     host->device read traffic vs the per-(read,hap) task layout. Empty
     haplotypes map to an all-pad row, which scores 0 exactly like the
-    empty-sequence convention."""
-    results = [np.zeros((len(r), 2), dtype=np.int32) for r in read_idx]
+    empty-sequence convention.
+
+    With codes=True, pair_fn is a fused score->call entry returning ONE
+    int8 call code per read (0/1/2/3); results are per-variant [n] int8
+    arrays and the device return transfer is 8x smaller."""
+    if codes:
+        results = [np.zeros(len(r), dtype=np.int8) for r in read_idx]
+    else:
+        results = [np.zeros((len(r), 2), dtype=np.int32) for r in read_idx]
     t_read_l, blocks = [], []   # (variant, flat_start, count)
     cursor = 0
     act = []
@@ -272,7 +280,10 @@ def _score_all_pairs(
     np.cumsum([len(b) for w in works for b in (w.rref, w.alt_hap)],
               out=hap_off[1:])
 
-    scores_flat = np.zeros((len(t_read), 2), dtype=np.int32)
+    if codes:
+        flat = np.zeros(len(t_read), dtype=np.int8)
+    else:
+        flat = np.zeros((len(t_read), 2), dtype=np.int32)
     keys = qlx * (1 << 32) + qly
     for key in np.unique(keys):
         sel = np.nonzero(keys == key)[0]
@@ -287,10 +298,10 @@ def _score_all_pairs(
         x = _read_provider(cbam, t_read[sel], lx)
         idx_ref = (2 * v_inv).astype(np.int32)
         idx_alt = (2 * v_inv + 1).astype(np.int32)
-        scores_flat[sel] = np.asarray(pair_fn(x, hap_mat, idx_ref, idx_alt),
-                                      dtype=np.int32)
+        flat[sel] = np.asarray(pair_fn(x, hap_mat, idx_ref, idx_alt),
+                               dtype=flat.dtype)
     for wi, start, count in blocks:
-        results[wi][:, :] = scores_flat[start : start + count]
+        results[wi][...] = flat[start : start + count]
     return results
 
 
@@ -323,9 +334,23 @@ def score_all_fast(
     ly_quantum: int = 32,
 ) -> List[np.ndarray]:
     """Batched scoring of every (read, ref_hap) and (read, alt_hap) pair,
-    bucketed by quantized shapes; returns per-variant [n, 2] int32."""
+    bucketed by quantized shapes; returns per-variant [n, 2] int32 score
+    arrays — or per-variant [n] int8 CALL CODES when the backend offers a
+    fused score->call pair entry (production TPU default; the aggregation
+    layer accepts both)."""
     pair_fn = getattr(score_batch_fn, "pair", None)
     if pair_fn is not None and os.environ.get("VARTRIX_PAIR", "1") != "0":
+        # chained-pair kernel (corner packing) measured +12% on-chip over
+        # the two-lane pair kernel (docs/KERNEL.md); VARTRIX_CHAINED=0
+        # opts back into the two-lane layout
+        suffix = ("_chained"
+                  if os.environ.get("VARTRIX_CHAINED", "1") != "0" else "")
+        calls_fn = getattr(score_batch_fn, "pair_calls" + suffix, None)
+        if (calls_fn is not None
+                and os.environ.get("VARTRIX_FUSED_CALLS", "1") != "0"):
+            return _score_all_pairs(cbam, works, read_idx, calls_fn,
+                                    lx_quantum, ly_quantum, codes=True)
+        pair_fn = getattr(score_batch_fn, "pair" + suffix, pair_fn)
         return _score_all_pairs(cbam, works, read_idx, pair_fn,
                                 lx_quantum, ly_quantum)
     def q(v: int, quantum: int) -> int:

@@ -356,26 +356,50 @@ def _main(argv: List[str]) -> None:
         from .io.bam_native import ColumnarBam
 
         bam_path = args.bam
+        cram_bytes = None
         if _is_cram(args.bam):
-            # the columnar native decoder consumes BAM byte streams;
-            # transcode the CRAM once. With --fetch auto/regions and a
-            # valid .crai, only containers overlapping variant windows are
-            # decoded (the CRAM analog of the BAI region plan).
-            import tempfile
-            from .io.cram import transcode_to_bam
-            tmp = tempfile.NamedTemporaryFile(suffix=".bam", delete=False)
-            tmp.close()
-            loci = fetch_loci if args.fetch != "whole" else None
-            n_rec = transcode_to_bam(args.bam, tmp.name, args.fasta,
-                                     loci=loci)
-            if loci is not None:
-                log.info("CRAM region transcode: %d records from "
-                         "index-selected containers", n_rec)
-            bam_path = tmp.name
+            # the columnar native decoder consumes BAM byte streams. The
+            # C++ CRAM decoder (libcramio) produces one in memory; with
+            # --fetch auto/regions and a valid .crai only containers
+            # overlapping variant windows decode (the CRAM analog of the
+            # BAI region plan). Python transcode remains the fallback for
+            # features libcramio doesn't support (bzip2/lzma blocks,
+            # exotic codecs).
+            offs = None
+            if args.fetch != "whole":
+                try:
+                    from .io.cram import CramReader
+                    offs = CramReader(args.bam).containers_for_loci(
+                        fetch_loci)
+                except Exception:
+                    offs = None
+            try:
+                from .io.bam_native import cram_decode_native
+                with _phase("cram-decode"):
+                    cram_bytes = cram_decode_native(
+                        args.bam, args.fasta, offs, max(args.threads, 1))
+                if offs is not None:
+                    log.info("CRAM native region decode: %d of the file's "
+                             "containers", len(offs))
+            except Exception as exc:
+                log.info("native CRAM decode unavailable (%s); using the "
+                         "Python transcoder", exc)
+                import tempfile
+                from .io.cram import transcode_to_bam
+                tmp = tempfile.NamedTemporaryFile(suffix=".bam", delete=False)
+                tmp.close()
+                loci = fetch_loci if args.fetch != "whole" else None
+                n_rec = transcode_to_bam(args.bam, tmp.name, args.fasta,
+                                         loci=loci)
+                if loci is not None:
+                    log.info("CRAM region transcode: %d records from "
+                             "index-selected containers", n_rec)
+                bam_path = tmp.name
         with _phase("decode"):
             cbam = ColumnarBam(bam_path, pargs.bam_tag.encode(),
                                n_threads=max(args.threads, 1),
-                               chunks=fetch_chunks)
+                               chunks=fetch_chunks,
+                               bam_bytes=cram_bytes)
         with _phase("collect"):
             read_idx, cells_l, umis_l = collect_reads_fast(
                 cbam, works, cell_barcodes, pargs)
@@ -397,8 +421,11 @@ def _main(argv: List[str]) -> None:
                 todo = []
                 for wi, w in enumerate(works):
                     arr = ckpt.load(w.row)
-                    if arr is not None and arr.shape == (len(read_idx[wi]), 2):
-                        cached[wi] = arr.astype(np.int32)
+                    want = len(read_idx[wi])
+                    # (n, 2) int32 scores or (n,) int8 fused call codes
+                    if arr is not None and arr.shape in ((want, 2), (want,)):
+                        cached[wi] = (arr if arr.ndim == 1
+                                      else arr.astype(np.int32))
                     else:
                         todo.append(wi)
                 sub = score_all_fast(cbam, [works[i] for i in todo],

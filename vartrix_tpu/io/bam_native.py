@@ -49,6 +49,13 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.c_int64]
         except AttributeError:
             pass
+        try:  # raw in-memory BAM stream loader (native CRAM path)
+            lib.gio_bam_load_bytes.restype = vp
+            lib.gio_bam_load_bytes.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_char_p, ctypes.c_int]
+        except AttributeError:
+            pass
         lib.gio_bam_free.argtypes = [vp]
         lib.gio_bam_error.restype = ctypes.c_char_p
         lib.gio_bam_error.argtypes = [vp]
@@ -188,19 +195,89 @@ def native_available() -> bool:
         return False
 
 
+_CRAM_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "_native",
+                              "libcramio.so")
+_cram_lib: Optional[ctypes.CDLL] = None
+
+
+def get_cram_lib() -> Optional[ctypes.CDLL]:
+    """libcramio (native CRAM 3.0 container decoder), or None."""
+    global _cram_lib
+    if _cram_lib is None:
+        if not os.path.exists(_CRAM_LIB_PATH):
+            try:
+                _build()
+            except Exception:
+                return None
+        if not os.path.exists(_CRAM_LIB_PATH):
+            return None
+        lib = ctypes.CDLL(os.path.abspath(_CRAM_LIB_PATH))
+        vp = ctypes.c_void_p
+        lib.cram_decode.restype = vp
+        lib.cram_decode.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                    ctypes.POINTER(ctypes.c_int64),
+                                    ctypes.c_int64, ctypes.c_int]
+        lib.cram_bam_data.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.cram_bam_data.argtypes = [vp]
+        lib.cram_bam_len.restype = ctypes.c_int64
+        lib.cram_bam_len.argtypes = [vp]
+        lib.cram_bam_error.restype = ctypes.c_char_p
+        lib.cram_bam_error.argtypes = [vp]
+        lib.cram_bam_free.argtypes = [vp]
+        _cram_lib = lib
+    return _cram_lib
+
+
+def cram_decode_native(path: str, fasta_path: Optional[str],
+                       offsets=None, n_threads: int = 0) -> bytes:
+    """Decode a CRAM into a raw BAM byte stream with libcramio.
+    `offsets`: optional container byte offsets (the .crai region plan).
+    Raises RuntimeError when the library is unavailable or the file uses
+    a feature it does not support (caller falls back to the Python
+    oracle, io/cram.py)."""
+    lib = get_cram_lib()
+    if lib is None:
+        raise RuntimeError("libcramio unavailable")
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    offp, noff = None, 0
+    if offsets is not None:
+        o = np.ascontiguousarray(offsets, dtype=np.int64)
+        offp = o.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        noff = len(o)
+    h = lib.cram_decode(path.encode(), (fasta_path or "").encode(),
+                        offp, ctypes.c_int64(noff), ctypes.c_int(n_threads))
+    try:
+        err = lib.cram_bam_error(h)
+        if err:
+            raise RuntimeError(f"native CRAM decode: {err.decode()}")
+        n = int(lib.cram_bam_len(h))
+        return ctypes.string_at(lib.cram_bam_data(h), n)
+    finally:
+        lib.cram_bam_free(h)
+
+
 class ColumnarBam:
     """Columnar view of a decoded BAM — the whole file, or (with `chunks`,
     an [n, 2] array of BAI/CSI virtual-offset ranges) only the records the
     indexed region plan touches, with memory bounded by the plan instead
-    of the file size."""
+    of the file size. `bam_bytes` decodes a raw in-memory BAM stream
+    instead of a file (the native CRAM path)."""
 
     def __init__(self, path: str, cb_tag: bytes = b"CB", n_threads: int = 0,
-                 chunks=None):
+                 chunks=None, bam_bytes: Optional[bytes] = None):
         lib = get_lib()
         if n_threads <= 0:
             n_threads = os.cpu_count() or 1
         self._lib = lib
-        if chunks is not None:
+        if bam_bytes is not None:
+            if not hasattr(lib, "gio_bam_load_bytes"):
+                raise RuntimeError("libgenomio predates gio_bam_load_bytes; "
+                                   "rebuild with native/build.sh")
+            buf = (ctypes.c_uint8 * len(bam_bytes)).from_buffer_copy(bam_bytes)
+            self._h = lib.gio_bam_load_bytes(
+                buf, ctypes.c_int64(len(bam_bytes)), cb_tag, n_threads)
+        elif chunks is not None:
             if not hasattr(lib, "gio_bam_load_regions"):
                 raise RuntimeError("libgenomio predates gio_bam_load_regions; "
                                    "rebuild with native/build.sh")

@@ -233,6 +233,194 @@ def _rans1_decode(data: bytes, off: int, n_out: int) -> bytes:
     return bytes(out)
 
 
+def _norm_freqs_4096(counts):
+    """Normalize symbol counts to sum exactly 4096 (present symbols keep
+    freq >= 1), the htslib rans_static convention."""
+    total = sum(counts)
+    if total == 0:
+        return None
+    freqs = [0] * 256
+    # largest-remainder scaling with a floor of 1 for present symbols
+    scaled = [(c * 4096) // total if c else 0 for c in counts]
+    for i in range(256):
+        if counts[i] and scaled[i] == 0:
+            scaled[i] = 1
+    diff = 4096 - sum(scaled)
+    # push the difference onto the most frequent symbol (always safe:
+    # its scaled value is >= everyone else's, and diff >= -(255))
+    imax = max(range(256), key=lambda i: scaled[i])
+    scaled[imax] += diff
+    if scaled[imax] <= 0:
+        return None  # degenerate distribution; caller falls back
+    return scaled
+
+
+def _write_freq_table0(freqs) -> bytes:
+    """Order-0 table in the spec's RLE layout, emitting exactly the byte
+    sequence _read_freq_table0 consumes: [s0] then per explicit symbol
+    freq(s) [next_sym] [rle iff next_sym == prev+1] with RLE-advanced
+    symbols contributing freqs only; terminated by symbol byte 0."""
+    syms = [s for s in range(256) if freqs[s]]
+    # maximal consecutive runs: (start, length)
+    runs = []
+    i = 0
+    while i < len(syms):
+        j = i
+        while j + 1 < len(syms) and syms[j + 1] == syms[j] + 1:
+            j += 1
+        runs.append((syms[i], j - i + 1))
+        i = j + 1
+    out = bytearray()
+    out.append(runs[0][0])  # initial symbol byte (no RLE check)
+    last = None
+    for gi, (start, length) in enumerate(runs):
+        if gi == 0:
+            out += write_itf8(freqs[start])
+            if length > 1:
+                out.append(start + 1)       # consecutive -> RLE byte follows
+                out.append(length - 2)      # extra symbols after start+1
+                for k in range(1, length):
+                    out += write_itf8(freqs[start + k])
+        else:
+            out.append(start)
+            if start == last + 1:
+                out.append(length - 1)      # RLE covers the whole run
+                for k in range(length):
+                    out += write_itf8(freqs[start + k])
+            else:
+                out += write_itf8(freqs[start])
+                if length > 1:
+                    out.append(start + 1)
+                    out.append(length - 2)
+                    for k in range(1, length):
+                        out += write_itf8(freqs[start + k])
+        last = start + length - 1
+    out.append(0)
+    return bytes(out)
+
+
+def _rans_renorm_encode(x, freq, out):
+    x_max = ((RANS_LOW >> 12) << 8) * freq
+    while x >= x_max:
+        out.append(x & 0xFF)
+        x >>= 8
+    return x
+
+
+def rans_encode_4x8(raw: bytes, order: int = 0) -> Optional[bytes]:
+    """rANS 4x8 encoder (CRAM spec section 13), order 0 or 1 — the block
+    method htslib emits by default. Returns None for inputs the simple
+    normalizer cannot handle (caller falls back to gzip)."""
+    n = len(raw)
+    if n == 0:
+        return None
+    if order == 0:
+        counts = [0] * 256
+        for b in raw:
+            counts[b] += 1
+        freqs = _norm_freqs_4096(counts)
+        if freqs is None:
+            return None
+        cum = _cum_from_freqs(freqs)
+        table = _write_freq_table0(freqs)
+        states = [RANS_LOW] * 4
+        body = bytearray()
+        for i in range(n - 1, -1, -1):
+            j = i & 3
+            s = raw[i]
+            x = _rans_renorm_encode(states[j], freqs[s], body)
+            states[j] = ((x // freqs[s]) << 12) + (x % freqs[s]) + cum[s]
+        body.reverse()
+        head = struct.pack("<B", 0) + struct.pack("<II", 0, n)
+        payload = head + table + struct.pack("<4I", *states) + bytes(body)
+        return payload[:1] + struct.pack("<I", len(payload) - 9) + payload[5:]
+    if order == 1:
+        if n < 4:
+            return None
+        isz4 = n >> 2
+        # (context, symbol) pair counts per the decoder's quarter scheme
+        counts = [[0] * 256 for _ in range(256)]
+        starts = [0 * isz4, 1 * isz4, 2 * isz4, 3 * isz4]
+        seq_ctx = [0] * n  # context of each position
+        for j in range(4):
+            last = 0
+            lo = j * isz4
+            hi = (j + 1) * isz4 if j < 3 else n
+            for p in range(lo, hi):
+                seq_ctx[p] = last
+                counts[last][raw[p]] += 1
+                last = raw[p]
+        freqs1 = [None] * 256
+        cums1 = [None] * 256
+        for c in range(256):
+            if sum(counts[c]) == 0:
+                continue
+            f = _norm_freqs_4096(counts[c])
+            if f is None:
+                return None
+            freqs1[c] = f
+            cums1[c] = _cum_from_freqs(f)
+        # context table with RLE over contexts, mirroring _rans1_decode's
+        # exact read sequence (same structure as the order-0 table, with
+        # an inner order-0 table where a frequency would sit)
+        ctxs = [c for c in range(256) if freqs1[c] is not None]
+        runs = []
+        i = 0
+        while i < len(ctxs):
+            j2 = i
+            while j2 + 1 < len(ctxs) and ctxs[j2 + 1] == ctxs[j2] + 1:
+                j2 += 1
+            runs.append((ctxs[i], j2 - i + 1))
+            i = j2 + 1
+        table = bytearray()
+        table.append(runs[0][0])
+        lastc = None
+        for gi, (start, length) in enumerate(runs):
+            if gi == 0:
+                table += _write_freq_table0(freqs1[start])
+                if length > 1:
+                    table.append(start + 1)
+                    table.append(length - 2)
+                    for k in range(1, length):
+                        table += _write_freq_table0(freqs1[start + k])
+            else:
+                table.append(start)
+                if start == lastc + 1:
+                    table.append(length - 1)
+                    for k in range(length):
+                        table += _write_freq_table0(freqs1[start + k])
+                else:
+                    table += _write_freq_table0(freqs1[start])
+                    if length > 1:
+                        table.append(start + 1)
+                        table.append(length - 2)
+                        for k in range(1, length):
+                            table += _write_freq_table0(freqs1[start + k])
+            lastc = start + length - 1
+        table.append(0)
+        # encode in exact reverse of the decoder's (state, pos) sequence
+        order_seq = []
+        for i2 in range(isz4):
+            for j in range(4):
+                order_seq.append((j, j * isz4 + i2))
+        for pos in range(4 * isz4, n):
+            order_seq.append((3, pos))
+        states = [RANS_LOW] * 4
+        body = bytearray()
+        for j, pos in reversed(order_seq):
+            s = raw[pos]
+            c = seq_ctx[pos]
+            f = freqs1[c][s]
+            cum = cums1[c][s]
+            x = _rans_renorm_encode(states[j], f, body)
+            states[j] = ((x // f) << 12) + (x % f) + cum
+        body.reverse()
+        head = struct.pack("<B", 1) + struct.pack("<II", 0, n)
+        payload = head + bytes(table) + struct.pack("<4I", *states) + bytes(body)
+        return payload[:1] + struct.pack("<I", len(payload) - 9) + payload[5:]
+    raise ValueError(f"rans order {order}")
+
+
 # ---------------------------------------------------------------------------
 # blocks
 
@@ -288,16 +476,20 @@ def skip_block(buf: bytes, off: int) -> int:
     return off + csize + 4  # payload + crc32
 
 
-def write_block(b: Block, compress: bool = True) -> bytes:
+def write_block(b: Block, compress: bool = True,
+                method_hint: str = "gzip") -> bytes:
     raw = b.data
+    comp, method = raw, METHOD_RAW
     if compress and len(raw) > 32:
-        co = zlib.compressobj(6, zlib.DEFLATED, 31)
-        comp = co.compress(raw) + co.flush()
-        method = METHOD_GZIP
-        if len(comp) >= len(raw):
-            comp, method = raw, METHOD_RAW
-    else:
-        comp, method = raw, METHOD_RAW
+        if method_hint in ("rans0", "rans1"):
+            r = rans_encode_4x8(raw, 0 if method_hint == "rans0" else 1)
+            if r is not None and len(r) < len(raw):
+                comp, method = r, METHOD_RANS
+        if method is METHOD_RAW:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            gz = co.compress(raw) + co.flush()
+            if len(gz) < len(raw):
+                comp, method = gz, METHOD_GZIP
     out = bytes([method, b.content_type]) + write_itf8(b.content_id)
     out += write_itf8(len(comp)) + write_itf8(len(raw)) + comp
     out += struct.pack("<I", zlib.crc32(out))
@@ -1148,15 +1340,20 @@ _TAG_ID_BASE = 100
 
 def write_cram(path: str, refs: List[Tuple[str, int]], records,
                records_per_container: int = 10000,
-               fasta_path: Optional[str] = None) -> None:
+               fasta_path: Optional[str] = None,
+               block_method: str = "gzip") -> None:
     """Write a CRAM 3.0 file from BamRecord-like objects (io/bam.py).
 
     Profile: multi-ref slices, absolute positions, read names preserved,
-    every data series EXTERNAL (gzip blocks), Z tags only. Without a
-    reference, sequences are stored verbatim via 'b'/'I'/'S' features
-    (RR=false); with fasta_path, aligned bases are encoded
-    REFERENCE-BASED — implicit matches plus 'X' substitution features
-    (the htslib-style profile, exercising the same decode path).
+    every data series EXTERNAL, Z tags only. Without a reference,
+    sequences are stored verbatim via 'b'/'I'/'S' features (RR=false);
+    with fasta_path, aligned bases are encoded REFERENCE-BASED —
+    implicit matches plus 'X' substitution features (the htslib-style
+    profile, exercising the same decode path).
+
+    block_method selects the data-block compressor: "gzip" (default),
+    "rans0" or "rans1" (rANS 4x8 — htslib's default for short-read
+    data; falls back per block when rANS doesn't shrink it).
     """
     recs = list(records)
     ref_fetch = None
@@ -1180,7 +1377,7 @@ def write_cram(path: str, refs: List[Tuple[str, int]], records,
         chunk = recs[cstart : cstart + records_per_container]
         if not chunk and recs:
             break
-        out += _write_data_container(chunk, cstart, ref_fetch)
+        out += _write_data_container(chunk, cstart, ref_fetch, block_method)
         if not recs:
             break
     out += CRAM_EOF
@@ -1200,7 +1397,8 @@ def _container_header(length, ref_id, start, span, n_rec, counter, bases,
     return h
 
 
-def _write_data_container(chunk, counter, ref_fetch=None) -> bytes:
+def _write_data_container(chunk, counter, ref_fetch=None,
+                          block_method: str = "gzip") -> bytes:
     streams: Dict[str, bytearray] = {k: bytearray() for k in _SERIES_IDS}
     tag_streams: Dict[int, bytearray] = {}
     tag_cids: Dict[int, int] = {}  # tkey -> content id (sequential, no collisions)
@@ -1368,11 +1566,13 @@ def _write_data_container(chunk, counter, ref_fetch=None) -> bytes:
     for key, sid in _SERIES_IDS.items():
         if streams[key]:
             data_blocks.append(write_block(Block(0, CT_EXTERNAL, sid,
-                                                 bytes(streams[key]))))
+                                                 bytes(streams[key])),
+                                           method_hint=block_method))
             content_ids.append(sid)
     for tkey, ts in tag_streams.items():
         cid = tag_cid(tkey)
-        data_blocks.append(write_block(Block(0, CT_EXTERNAL, cid, bytes(ts))))
+        data_blocks.append(write_block(Block(0, CT_EXTERNAL, cid, bytes(ts)),
+                                       method_hint=block_method))
         content_ids.append(cid)
     core_block = write_block(Block(0, CT_CORE, 0, b""), compress=False)
 

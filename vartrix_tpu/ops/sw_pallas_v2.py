@@ -1,16 +1,18 @@
-"""Optimized Pallas SW kernel (v2 wrapper plumbing, v4 recurrence).
+"""Optimized Pallas SW kernel (v2 wrapper plumbing, v4/v5 recurrences).
 
 Same anti-diagonal wavefront as ops/sw_pallas.py with these optimizations
 (each validated by on-chip ablation, docs/KERNEL.md):
 
-  1. SINGLE-ROLL recurrence (v4): the kernel carries a pre-shifted copy
-     of H alongside the unshifted one, so the vertical-gap F needs no
-     shift at all — F(d) = max(shift(H(d-1)) + open, F(d-1) + extend) is
-     computed directly from the carried shifted state, and the boundary
-     value that wraps into row 0 is <= -6, which can never beat the
-     local-alignment 0 floor (no row-0 select needed for F). One
-     pltpu.roll per diagonal (producing the next shifted H) instead of
-     two rolls + two selects.
+  1. SHIFTED-M recurrence (v4, fixed round 3): the kernel carries a
+     pre-shifted copy of H (for the match term) and a pre-shifted
+     M(d) = max(H(d) + gap_open, F(d)) tile that folds the vertical-gap
+     open/extend chains into one carried value, so the exact
+     F(i,j) = max(H(i-1,j)+GOE, F(i-1,j)+GE) = shift(M(d-1))[i] + GE
+     costs a single add per diagonal (two rolls per diagonal total).
+     Round 2 shipped a single-roll variant that carried F UNSHIFTED; it
+     admits an illegal mixed gap (skip 1 read base + t haplotype bases
+     for one gap-open) and overestimates scores on indel-adjacent
+     corners — caught by the adversarial mixed-gap tests, fixed here.
   2. the per-diagonal y window is a dynamic sublane slice from a
      REVERSED, pad-extended y buffer (ybuf[t] = y[c+1-t]) instead of a
      rolling window carried between iterations — removing a loop-carried
@@ -18,9 +20,16 @@ Same anti-diagonal wavefront as ops/sw_pallas.py with these optimizations
   3. eight diagonals per loop iteration: the six state tiles are
      loaded/stored once per group and the running-best merge amortizes
      8x (best-tracking measured ~12% of kernel time at unroll 2).
+  4. CHAINED-PAIR kernel (v5): one lane scores one read against
+     ref_hap ++ alt_hap chained along y, sharing one wavefront ramp
+     (issued diagonals 2(lx+ly-1) -> lx+2ly-1); segment crossing is
+     killed only on the lx boundary diagonals (3-phase sweep).
+  5. FUSED CALLS: the pair entries can reduce each pair's two scores to
+     one int8 call code on device (reference evaluate_scores,
+     src/main.rs:1019-1030), shrinking the device->host return 8x.
 
-Exactness is identical to v1 (same recurrence, same padding argument);
-parity is enforced by tests against the NumPy oracle.
+Exactness matches the NumPy oracle / brute-force affine DP; parity is
+enforced by random, adversarial-indel, and mixed-gap tests.
 """
 
 from __future__ import annotations
@@ -33,7 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import GAP_EXTEND, GAP_OPEN, MATCH, MISMATCH
+from ..constants import GAP_EXTEND, GAP_OPEN, MATCH, MIN_SCORE, MISMATCH
 from .sw_pallas import LANES, NEG, _on_tpu
 
 # eight diagonals per state round-trip: measured fastest on-chip for the
@@ -42,20 +51,27 @@ UNROLL_DEFAULT = 8
 
 
 def _sw_kernel_v4(x_ref, ybuf_ref, out_ref,
-                  hm1_ref, hsm1_ref, hsm2_ref, e_ref, f_ref, best_ref,
+                  hm1_ref, hsm1_ref, hsm2_ref, e_ref, ms_ref, best_ref,
                   *, lx: int, ly: int, unroll: int = UNROLL_DEFAULT):
     """x [lx, 128]; ybuf [YB, 128] with ybuf[t] = y[c+1-t] (c = lx+ly-2),
     pad elsewhere; out [1, 128].
 
-    Single-roll recurrence. State carried between diagonals:
+    State carried between diagonals:
       h_m1  = H(d-1)                   (unshifted; feeds E)
-      hs_m1 = shift_down(H(d-1), 0)    (feeds F and becomes hs_m2)
+      hs_m1 = shift_down(H(d-1), 0)    (becomes hs_m2)
       hs_m2 = shift_down(H(d-2), 0)    (feeds the match term)
-    F needs no shift: F(d)[i] = max(H(d-1)[i-1]+GOE, F(d-1)[i]+GE), and
-    shift_down(H)[0] = 0 makes F[0] <= -6 — never competitive with the
-    local-alignment 0 floor, so no boundary select either."""
+      ms    = shift_down(M(d-1), NEG)  (feeds F)
+    where M(d) = max(H(d) + (GOE-GE), F(d)) folds the vertical-gap open
+    and extend chains into ONE carried tile, so the exact F recurrence
+    F(i,j) = max(H(i-1,j)+GOE, F(i-1,j)+GE) = shift(M(d-1))[i] + GE costs
+    a single add per diagonal. (Round-2's "single-roll" variant carried F
+    UNSHIFTED, which admits an illegal mixed gap — skip 1 read base plus
+    t haplotype bases for one gap-open — and overestimates scores on
+    indel-adjacent corners; caught by the adversarial mixed-gap tests in
+    tests/test_sw.py, fixed round 3.)"""
     GOE = np.int32(GAP_OPEN + GAP_EXTEND)
     GE = np.int32(GAP_EXTEND)
+    OMEGA = np.int32(GAP_OPEN)  # GOE - GE
 
     x = x_ref[:, :]
     zeros = x * np.int32(0)
@@ -65,7 +81,7 @@ def _sw_kernel_v4(x_ref, ybuf_ref, out_ref,
     hsm1_ref[:, :] = zeros
     hsm2_ref[:, :] = zeros
     e_ref[:, :] = zeros + NEG
-    f_ref[:, :] = zeros + NEG
+    ms_ref[:, :] = zeros + NEG
     best_ref[:, :] = zeros
 
     # window offset for diagonal d is (c1 + pad_top) - d; ybuf carries
@@ -76,17 +92,19 @@ def _sw_kernel_v4(x_ref, ybuf_ref, out_ref,
     c1 = lx + ly - 1 + pad_top
     n_grp = (lx + ly + unroll - 1) // unroll  # covers diagonals 0..lx+ly-2
 
-    def one_diag(d_off_base, k, h_m1, hs_m1, hs_m2, e, f):
+    def one_diag(d_off_base, k, h_m1, hs_m2, e, ms):
         """Compute diagonal with window offset (d_off_base - k); inputs
         are the previous diagonals' register values."""
         ys = ybuf_ref[pl.ds(d_off_base - k, lx), :]
         s = jnp.where(x == ys, np.int32(MATCH), np.int32(MISMATCH))
         e_n = jnp.maximum(h_m1 + GOE, e + GE)
-        f_n = jnp.maximum(hs_m1 + GOE, f + GE)
+        f_n = ms + GE
         h_n = jnp.maximum(jnp.maximum(hs_m2 + s, e_n),
                           jnp.maximum(f_n, 0))
+        m_n = jnp.maximum(h_n + OMEGA, f_n)
         hs_n = jnp.where(row0, np.int32(0), pltpu.roll(h_n, 1, axis=0))
-        return h_n, hs_n, e_n, f_n
+        ms_n = jnp.where(row0, NEG, pltpu.roll(m_n, 1, axis=0))
+        return h_n, hs_n, e_n, ms_n
 
     def body(p, _):
         # group of `unroll` diagonals starting at d = unroll*p;
@@ -96,10 +114,10 @@ def _sw_kernel_v4(x_ref, ybuf_ref, out_ref,
         hs_m1 = hsm1_ref[:, :]
         hs_m2 = hsm2_ref[:, :]
         e = e_ref[:, :]
-        f = f_ref[:, :]
+        ms = ms_ref[:, :]
         hs = []
         for k in range(unroll):
-            h, hsh, e, f = one_diag(base, k, h_m1, hs_m1, hs_m2, e, f)
+            h, hsh, e, ms = one_diag(base, k, h_m1, hs_m2, e, ms)
             h_m1 = h
             hs_m2, hs_m1 = hs_m1, hsh
             hs.append(h)
@@ -107,7 +125,7 @@ def _sw_kernel_v4(x_ref, ybuf_ref, out_ref,
         hsm1_ref[:, :] = hs_m1
         hsm2_ref[:, :] = hs_m2
         e_ref[:, :] = e
-        f_ref[:, :] = f
+        ms_ref[:, :] = ms
         b = hs[0]
         for h in hs[1:]:
             b = jnp.maximum(b, h)
@@ -250,6 +268,57 @@ def _sw_compact_pairs(x_u8: jax.Array, hap_mat: jax.Array, idx2: jax.Array,
                          unroll=unroll)
 
 
+@functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
+def _sw_pair_calls(x_u8: jax.Array, hap_mat: jax.Array, idx2: jax.Array,
+                   *, lx: int, ly: int, interpret: bool,
+                   unroll: int = UNROLL_DEFAULT) -> jax.Array:
+    """Fused score->call pair entry: runs the wavefront kernel on the
+    interleaved (ref, alt) pair batch, then reduces each pair's two int32
+    scores to ONE int8 call code ON DEVICE (reference evaluate_scores,
+    src/main.rs:1019-1030: both < MIN_SCORE -> dropped(0), ref>alt -> 1,
+    alt>ref -> 2, tie -> unknown(3)). The device->host return shrinks from
+    8 bytes/read (2x int32) to 1 byte/read — the score phase's return
+    transfer is the e2e bottleneck through the relay (VERDICT r2 #1)."""
+    s = _sw_compact_pairs(x_u8, hap_mat, idx2, lx=lx, ly=ly,
+                          interpret=interpret, unroll=unroll)[0]
+    ref, alt = s[0::2], s[1::2]
+    dropped = (ref < MIN_SCORE) & (alt < MIN_SCORE)
+    code = jnp.where(ref > alt, 1, jnp.where(alt > ref, 2, 3))
+    return jnp.where(dropped, 0, code).astype(jnp.int8)
+
+
+def sw_calls_pair_tpu(x, hap_mat: np.ndarray,
+                      idx_ref: np.ndarray, idx_alt: np.ndarray,
+                      unroll: int = UNROLL_DEFAULT) -> np.ndarray:
+    """Like sw_scores_pair_tpu but returns int8 call codes [R]
+    (0=dropped, 1=REF, 2=ALT, 3=UNKNOWN) computed on device."""
+    provider = callable(x)
+    R, lx = x.shape
+    ly = hap_mat.shape[1]
+    interpret = not _on_tpu()
+    hap_dev = jnp.asarray(hap_mat)
+    out = np.empty(R, dtype=np.int8)
+    results, spans = [], []
+    half = CHUNK // 2
+    start = 0
+    while start < R:
+        n = min(half, R - start)
+        bp = max(_quantized_batch(2 * n) // 2, LANES // 2)
+        xc = np.zeros((bp, lx), dtype=np.uint8)
+        xc[:n] = x(start, n) if provider else x[start : start + n]
+        idx2 = np.zeros(2 * bp, dtype=np.int32)
+        idx2[0 : 2 * n : 2] = idx_ref[start : start + n]
+        idx2[1 : 2 * n : 2] = idx_alt[start : start + n]
+        results.append(_sw_pair_calls(jnp.asarray(xc), hap_dev,
+                                      jnp.asarray(idx2), lx=lx, ly=ly,
+                                      interpret=interpret, unroll=unroll))
+        spans.append((start, n))
+        start += n
+    for r, (s, n) in zip(results, spans):
+        out[s : s + n] = np.asarray(r)[:n]
+    return out
+
+
 def sw_scores_pair_tpu(x, hap_mat: np.ndarray,
                        idx_ref: np.ndarray, idx_alt: np.ndarray,
                        unroll: int = UNROLL_DEFAULT) -> np.ndarray:
@@ -366,6 +435,7 @@ def sw_scores_batch_tpu_v2(x: np.ndarray, y: np.ndarray,
 sw_scores_batch_tpu_v2.compact = sw_scores_compact_tpu
 sw_scores_batch_tpu_v2.compact2 = sw_scores_compact2_tpu
 sw_scores_batch_tpu_v2.pair = sw_scores_pair_tpu
+sw_scores_batch_tpu_v2.pair_calls = sw_calls_pair_tpu
 
 
 def make_mesh_scorer(n_devices: int = 0, unroll: int = UNROLL_DEFAULT):
@@ -441,3 +511,240 @@ def make_mesh_scorer(n_devices: int = 0, unroll: int = UNROLL_DEFAULT):
     scorer.compact = compact
     scorer.mesh = mesh
     return scorer
+
+
+# ---------------------------------------------------------------------------
+# v5: chained-pair kernel (corner packing, VERDICT r2 #2)
+#
+# Each lane scores ONE read against TWO haplotypes laid back-to-back along
+# y (Y = ref_hap ++ alt_hap, each segment padded to ly). The two DP
+# problems share one wavefront ramp: issued diagonals drop from
+# 2*(lx+ly-1) to lx+2*ly-1 (-21% at 152x208). Crossing between the
+# segments is killed only on the lx diagonals where the boundary column
+# (j == ly) is inside the tile, so the sweep runs in three phases:
+#   phase 1 (d < ly):            vanilla recurrence, best -> ref tile
+#   phase 2 (ly <= d <= ly+lx-1): crossing kill at row i == d-ly, per-
+#                                 diagonal parity split of best updates
+#   phase 3 (d > ly+lx-1):       vanilla recurrence, best -> alt tile
+# Out block is [2, LANES]: (ref_best, alt_best) per lane.
+# ---------------------------------------------------------------------------
+
+
+def _sw_kernel_v5(x_ref, ybuf_ref, out_ref,
+                  hm1_ref, hsm1_ref, hsm2_ref, e_ref, ms_ref,
+                  ba_ref, bb_ref, *, lx: int, ly: int,
+                  unroll: int = UNROLL_DEFAULT):
+    """x [lx, 128]; ybuf [YB, 128] with ybuf[pad_top + t] = Y[(2*ly-1) - t]
+    (Y = ref ++ alt, pad byte 1 elsewhere); out [2, 128]. Same exact
+    recurrence as _sw_kernel_v4 (shifted-M vertical-gap state)."""
+    GOE = np.int32(GAP_OPEN + GAP_EXTEND)
+    GE = np.int32(GAP_EXTEND)
+    OMEGA = np.int32(GAP_OPEN)  # GOE - GE
+
+    x = x_ref[:, :]
+    zeros = x * np.int32(0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (lx, LANES), 0)
+    row0 = iota == 0
+
+    hm1_ref[:, :] = zeros
+    hsm1_ref[:, :] = zeros
+    hsm2_ref[:, :] = zeros
+    e_ref[:, :] = zeros + NEG
+    ms_ref[:, :] = zeros + NEG
+    ba_ref[:, :] = zeros
+    bb_ref[:, :] = zeros
+
+    pad_top = unroll - 1
+    L = 2 * ly
+    c1 = lx + L - 1 + pad_top
+    n_grp = (lx + L + unroll - 1) // unroll
+    # phase edges in group units: phase 2 must cover every diagonal in
+    # [ly, ly+lx-1] (the boundary column's diagonals)
+    g2 = min((ly + lx - 1) // unroll + 1, n_grp)
+    g1 = min(ly // unroll, g2)
+
+    def one_diag(d_off_base, k, h_m1, hs_m2, e, ms, rb=None):
+        """rb: boundary row scalar (phase 2 only) — kills the E and
+        match transitions entering column j == ly at row i == rb (the
+        vertical F chain never crosses columns, so it needs no kill)."""
+        ys = ybuf_ref[pl.ds(d_off_base - k, lx), :]
+        s = jnp.where(x == ys, np.int32(MATCH), np.int32(MISMATCH))
+        e_n = jnp.maximum(h_m1 + GOE, e + GE)
+        if rb is not None:
+            cross = iota == rb
+            # a problem-2 local alignment may START at any boundary-
+            # column cell: clamp the diagonal predecessor to the virtual
+            # H=0 boundary (not NEG) so fresh matches survive, and kill
+            # the horizontal gap chain outright (a local alignment never
+            # opens with a gap — it would be floored anyway)
+            hs_m2 = jnp.where(cross, np.int32(0), hs_m2)
+            e_n = jnp.where(cross, NEG, e_n)
+        f_n = ms + GE
+        h_n = jnp.maximum(jnp.maximum(hs_m2 + s, e_n),
+                          jnp.maximum(f_n, 0))
+        m_n = jnp.maximum(h_n + OMEGA, f_n)
+        hs_n = jnp.where(row0, np.int32(0), pltpu.roll(h_n, 1, axis=0))
+        ms_n = jnp.where(row0, NEG, pltpu.roll(m_n, 1, axis=0))
+        return h_n, hs_n, e_n, ms_n
+
+    def make_body(phase):
+        def body(p, _):
+            base = c1 - unroll * p
+            d0 = unroll * p
+            h_m1 = hm1_ref[:, :]
+            hs_m1 = hsm1_ref[:, :]
+            hs_m2 = hsm2_ref[:, :]
+            e = e_ref[:, :]
+            ms = ms_ref[:, :]
+            hs_a, hs_b = [], []
+            for k in range(unroll):
+                rb = (d0 + k - ly) if phase == 2 else None
+                h, hsh, e, ms = one_diag(base, k, h_m1, hs_m2, e, ms,
+                                         rb=rb)
+                h_m1 = h
+                hs_m2, hs_m1 = hs_m1, hsh
+                if phase == 1:
+                    hs_a.append(h)
+                elif phase == 3:
+                    hs_b.append(h)
+                else:
+                    pmask = iota <= rb
+                    hs_a.append(jnp.where(pmask, np.int32(0), h))
+                    hs_b.append(jnp.where(pmask, h, np.int32(0)))
+            hm1_ref[:, :] = h_m1
+            hsm1_ref[:, :] = hs_m1
+            hsm2_ref[:, :] = hs_m2
+            e_ref[:, :] = e
+            ms_ref[:, :] = ms
+            for hs, ref in ((hs_a, ba_ref), (hs_b, bb_ref)):
+                if not hs:
+                    continue
+                b = hs[0]
+                for h in hs[1:]:
+                    b = jnp.maximum(b, h)
+                ref[:, :] = jnp.maximum(ref[:, :], b)
+            return 0
+
+        return body
+
+    jax.lax.fori_loop(0, g1, make_body(1), 0)
+    jax.lax.fori_loop(g1, g2, make_body(2), 0)
+    jax.lax.fori_loop(g2, n_grp, make_body(3), 0)
+    out_ref[:, :] = jnp.concatenate(
+        [jnp.max(ba_ref[:, :], axis=0, keepdims=True),
+         jnp.max(bb_ref[:, :], axis=0, keepdims=True)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
+def _sw_pallas_v5(x_t: jax.Array, ybuf_t: jax.Array, *, lx: int, ly: int,
+                  interpret: bool, unroll: int = UNROLL_DEFAULT) -> jax.Array:
+    B = x_t.shape[1]
+    yb = ybuf_t.shape[0]
+    grid = (B // LANES,)
+    kernel = functools.partial(_sw_kernel_v5, lx=lx, ly=ly, unroll=unroll)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((lx, LANES), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((yb, LANES), lambda b: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, LANES), lambda b: (0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, B), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((lx, LANES), jnp.int32) for _ in range(7)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * lx * (lx + 2 * ly) * LANES,
+            bytes_accessed=(lx + yb) * B * 4, transcendentals=0),
+        interpret=interpret,
+    )(x_t, ybuf_t)
+
+
+@functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
+def _sw_pair_chained(x_u8: jax.Array, hap_mat: jax.Array, idx2: jax.Array,
+                     *, lx: int, ly: int, interpret: bool,
+                     unroll: int = UNROLL_DEFAULT) -> jax.Array:
+    """Chained-pair entry: x [R, lx] uint8 (one row per read), idx2 [2R]
+    interleaved (ref, alt) haplotype rows. Returns [2, R] int32 scores.
+    Unlike _sw_compact_pairs there is no on-device read repeat — each
+    lane carries the read once against both haplotypes."""
+    R = x_u8.shape[0]
+    pad_top = unroll - 1
+    x_t = x_u8.astype(jnp.int32).T                    # [lx, R]
+    ych = hap_mat[idx2].reshape(R, 2 * ly)            # ref ++ alt per read
+    yrev = jnp.flip(ych, axis=1).astype(jnp.int32).T  # [2ly, R]
+    ybuf = jnp.full((pad_top + 2 * lx + 2 * ly, R), 1, jnp.int32)
+    ybuf = ybuf.at[pad_top + lx : pad_top + lx + 2 * ly].set(yrev)
+    return _sw_pallas_v5(x_t, ybuf, lx=lx, ly=ly, interpret=interpret,
+                         unroll=unroll)
+
+
+@functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
+def _sw_pair_chained_calls(x_u8: jax.Array, hap_mat: jax.Array,
+                           idx2: jax.Array, *, lx: int, ly: int,
+                           interpret: bool,
+                           unroll: int = UNROLL_DEFAULT) -> jax.Array:
+    """Chained-pair kernel + fused on-device call reduction -> int8 [R]."""
+    s = _sw_pair_chained(x_u8, hap_mat, idx2, lx=lx, ly=ly,
+                         interpret=interpret, unroll=unroll)
+    ref, alt = s[0], s[1]
+    dropped = (ref < MIN_SCORE) & (alt < MIN_SCORE)
+    code = jnp.where(ref > alt, 1, jnp.where(alt > ref, 2, 3))
+    return jnp.where(dropped, 0, code).astype(jnp.int8)
+
+
+def _pair_chunks(x, hap_mat, idx_ref, idx_alt, entry, out, unroll):
+    """Shared chunking for the chained-pair entries: each chunk ships
+    R read rows (one lane per read) + interleaved hap indices."""
+    provider = callable(x)
+    R, lx = x.shape
+    ly = hap_mat.shape[1]
+    interpret = not _on_tpu()
+    hap_dev = jnp.asarray(hap_mat)
+    results, spans = [], []
+    half = CHUNK // 2
+    start = 0
+    while start < R:
+        n = min(half, R - start)
+        bp = max(_quantized_batch(2 * n) // 2, LANES)
+        xc = np.zeros((bp, lx), dtype=np.uint8)
+        xc[:n] = x(start, n) if provider else x[start : start + n]
+        idx2 = np.zeros(2 * bp, dtype=np.int32)
+        idx2[0 : 2 * n : 2] = idx_ref[start : start + n]
+        idx2[1 : 2 * n : 2] = idx_alt[start : start + n]
+        results.append(entry(jnp.asarray(xc), hap_dev, jnp.asarray(idx2),
+                             lx=lx, ly=ly, interpret=interpret,
+                             unroll=unroll))
+        spans.append((start, n))
+        start += n
+    return results, spans
+
+
+def sw_calls_pair_chained_tpu(x, hap_mat: np.ndarray,
+                              idx_ref: np.ndarray, idx_alt: np.ndarray,
+                              unroll: int = UNROLL_DEFAULT) -> np.ndarray:
+    """Chained-lane flavor of sw_calls_pair_tpu (VARTRIX_CHAINED=1)."""
+    out = np.empty(x.shape[0], dtype=np.int8)
+    results, spans = _pair_chunks(x, hap_mat, idx_ref, idx_alt,
+                                  _sw_pair_chained_calls, out, unroll)
+    for r, (s, n) in zip(results, spans):
+        out[s : s + n] = np.asarray(r)[:n]
+    return out
+
+
+def sw_scores_pair_chained_tpu(x, hap_mat: np.ndarray,
+                               idx_ref: np.ndarray, idx_alt: np.ndarray,
+                               unroll: int = UNROLL_DEFAULT) -> np.ndarray:
+    """Chained-lane flavor of sw_scores_pair_tpu -> int32 [R, 2]."""
+    out = np.empty((x.shape[0], 2), dtype=np.int32)
+    results, spans = _pair_chunks(x, hap_mat, idx_ref, idx_alt,
+                                  _sw_pair_chained, out, unroll)
+    for r, (s, n) in zip(results, spans):
+        block = np.asarray(r)
+        out[s : s + n, 0] = block[0, :n]
+        out[s : s + n, 1] = block[1, :n]
+    return out
+
+
+sw_scores_batch_tpu_v2.pair_chained = sw_scores_pair_chained_tpu
+sw_scores_batch_tpu_v2.pair_calls_chained = sw_calls_pair_chained_tpu
