@@ -5,25 +5,31 @@ Prints ONE JSON line to stdout:
 
 Primary metric: read-vs-haplotype Smith-Waterman alignments/sec on one TPU
 chip (the engine's hot computation, BASELINE.md north star), measured with
-the Pallas wavefront kernel on realistic shapes (150bp reads vs 201bp
-haplotypes, padded to the kernel's 152x208 tile quantization).
+the PRODUCTION Pallas kernel — the chained-pair wavefront (v5): one lane
+scores one read against ref++alt haplotypes on realistic shapes (150bp
+reads vs 201bp haplotypes, padded to the kernel's 152x208 quantization).
 
 vs_baseline: speedup over the multi-threaded CPU banded aligner
 (native/swlib.cpp — same k-mer-banded algorithm family and scoring
 parameters as the reference tool's rust-bio aligner, using all host
 cores). The reference publishes no numbers (BASELINE.md), so the baseline
-is self-measured on this host.
+is self-measured on this host; per-core normalization is printed so the
+number travels across host sizes.
 
-Additional context metrics (end-to-end pipeline reads/s, CPU kernel
-throughputs) go to stderr.
+Context metrics on stderr: CPU-vs-TPU end-to-end pipeline comparison with
+>=3 repetitions per arm (median reported), per-phase decomposition from
+--metrics-json, and an estimated device-vs-transfer split of the score
+phase.
 
 Note on timing: the axon TPU relay caches identical computations and its
 block_until_ready is unreliable, so every timed step consumes a unique
-on-device-generated input and the final scalar is materialized to host.
+on-device-generated input and the final scalar is materialized to host,
+and every e2e repetition runs on a FRESH dataset.
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -34,7 +40,7 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_tpu_kernel(lx=152, ly=208, B=65536, n_iter=8):
+def bench_tpu_kernel(lx=152, ly=208, R=32768, n_iter=8):
     import jax
     import jax.numpy as jnp
 
@@ -43,20 +49,23 @@ def bench_tpu_kernel(lx=152, ly=208, B=65536, n_iter=8):
                       os.path.expanduser("~/.cache/jax_pallas"))
 
     from vartrix_tpu.ops.sw_pallas import _on_tpu
-    from vartrix_tpu.ops.sw_pallas_v2 import _sw_pallas_v2
+    from vartrix_tpu.ops.sw_pallas_v2 import UNROLL_DEFAULT, _sw_pallas_v5
 
     interpret = not _on_tpu()
     if interpret:
-        B, n_iter = 256, 2  # CPU interpreter mode: keep it tiny
+        R, n_iter = 128, 2  # CPU interpreter mode: keep it tiny
+    pad_top = UNROLL_DEFAULT - 1
 
     @jax.jit
     def step(seed):
         kx, ky = jax.random.split(jax.random.key(seed))
-        x = jax.random.randint(kx, (lx, B), 65, 69, jnp.int32)
-        ybuf = jax.random.randint(ky, (1 + 2 * lx + ly, B), 65, 69, jnp.int32)
-        return jnp.sum(_sw_pallas_v2(x, ybuf, lx=lx, ly=ly,
+        x = jax.random.randint(kx, (lx, R), 65, 69, jnp.int32)
+        ybuf = jax.random.randint(ky, (pad_top + 2 * lx + 2 * ly, R),
+                                  65, 69, jnp.int32)
+        return jnp.sum(_sw_pallas_v5(x, ybuf, lx=lx, ly=ly,
                                      interpret=interpret))
 
+    aligns = 2 * R  # each lane scores a (ref, alt) pair
     t0 = time.time()
     _ = int(step(0))  # warm/compile
     log(f"kernel compile+warm: {time.time()-t0:.1f}s (interpret={interpret})")
@@ -69,9 +78,10 @@ def bench_tpu_kernel(lx=152, ly=208, B=65536, n_iter=8):
             tot = tot + step(1000 * window + i)
         _ = int(tot)  # materialize => all executions complete
         dt = (time.time() - t0) / n_iter
-        aps = B / dt
-        log(f"TPU kernel window {window}: {dt*1e3:.1f} ms/batch of {B} -> "
-            f"{aps/1e6:.3f} M alignments/s ({B*lx*ly/dt/1e9:.1f} Gcells/s)")
+        aps = aligns / dt
+        log(f"TPU kernel window {window}: {dt*1e3:.1f} ms/batch of {aligns} "
+            f"pairs -> {aps/1e6:.3f} M alignments/s "
+            f"({aligns*lx*ly/dt/1e9:.1f} Gcells/s useful)")
         best = max(best, aps)
     return best
 
@@ -99,22 +109,27 @@ def bench_cpu_baseline(n_pairs=20000):
     banded_sw_batch_native(xs, ys, nt)
     dt = time.time() - t0
     aps = n_pairs / dt
-    log(f"CPU banded baseline ({nt} threads): {aps/1e3:.1f} k alignments/s")
+    log(f"CPU banded baseline ({nt} threads): {aps/1e3:.1f} k alignments/s "
+        f"({aps/nt/1e3:.1f} k/core)")
     return aps
 
 
-def bench_e2e():
+TIMED_CFG = dict(n_chroms=4, chrom_len=200_000, n_variants=1000,
+                 n_cells=2000, reads_per_variant=500, spliced_frac=0.5)
+
+
+def bench_e2e(kernel_aps=None, reps=3):
     """North-star e2e comparison (BASELINE.md): the full TPU pipeline vs a
     full CPU pipeline standing in for multi-threaded vartrix — same
     workload, all host cores, reference-style banded scoring (banded is
     FASTER than full SW on CPU, so the ratio is conservative).
 
-    Protocol: each backend first runs a small WARM-UP dataset (absorbs
-    kernel compile and TPU-relay warm-up), then is timed on a larger
-    FRESH dataset — the relay caches identical computations, so re-timing
-    the same inputs would inflate the TPU number. spliced_frac=0.5 makes
-    the workload N-split-dominated like real 10x scRNA.
-    Returns (tpu_rps, cpu_rps)."""
+    Protocol: each backend first runs a WARM-UP dataset with the SAME
+    generator profile as the timed ones (so kernel shapes compile and the
+    relay warms on the shapes that will be timed), then is timed on
+    `reps` FRESH datasets (the relay caches identical computations) and
+    the MEDIAN is reported. Per-phase times come from --metrics-json.
+    Returns (tpu_median_rps, cpu_median_rps)."""
     import tempfile
 
     from vartrix_tpu.driver import _main
@@ -122,40 +137,70 @@ def bench_e2e():
 
     d = tempfile.mkdtemp()
     warm = generate_dataset(os.path.join(d, "w"), SynthConfig(
-        n_variants=100, n_cells=500, reads_per_variant=100, seed=3,
-        spliced_frac=0.5))
-    timed = generate_dataset(os.path.join(d, "t"), SynthConfig(
-        n_chroms=4, chrom_len=200_000, n_variants=1000, n_cells=2000,
-        reads_per_variant=500, seed=11, spliced_frac=0.5))
+        seed=3, **{**TIMED_CFG, "n_variants": 200, "reads_per_variant": 100}))
     nt = str(os.cpu_count() or 1)
 
-    def run(tag, extra):
+    def one_run(data, tag, extra):
+        out = os.path.join(d, f"out_{tag}.mtx")
+        mj = os.path.join(d, f"metrics_{tag}.json")
+        t0 = time.time()
+        _main(["-v", data["vcf"], "-b", data["bam"], "-f", data["fasta"],
+               "-c", data["barcodes"], "-o", out, "--threads", nt,
+               "--metrics-json", mj, *extra])
+        dt = time.time() - t0
+        phases = {}
+        try:
+            with open(mj) as f:
+                phases = json.load(f).get("phase_seconds", {})
+        except Exception:
+            pass
+        return dt, phases
+
+    def run_arm(tag, extra):
         _main(["-v", warm["vcf"], "-b", warm["bam"], "-f", warm["fasta"],
                "-c", warm["barcodes"], "-o",
                os.path.join(d, f"warm_{tag}.mtx"), "--threads", nt, *extra])
-        out = os.path.join(d, f"out_{tag}.mtx")
-        t0 = time.time()
-        _main(["-v", timed["vcf"], "-b", timed["bam"], "-f", timed["fasta"],
-               "-c", timed["barcodes"], "-o", out, "--threads", nt, *extra])
-        dt = time.time() - t0
-        rps = timed["n_reads"] / dt
-        log(f"e2e [{tag}, fresh-data]: {timed['n_reads']} reads in {dt:.1f}s "
-            f"-> {rps:.0f} reads/s")
-        return rps
+        rates, scores = [], []
+        n_pairs = 0
+        for rep in range(reps):
+            data = generate_dataset(os.path.join(d, f"t_{tag}_{rep}"),
+                                    SynthConfig(seed=100 + rep, **TIMED_CFG))
+            dt, phases = one_run(data, f"{tag}_{rep}", extra)
+            rates.append(data["n_reads"] / dt)
+            if "score" in phases:
+                scores.append(phases["score"])
+            n_pairs = max(n_pairs, data["n_reads"])
+            log(f"e2e [{tag} rep{rep}]: {data['n_reads']} reads in {dt:.1f}s"
+                f" -> {data['n_reads']/dt:.0f} reads/s"
+                + (f" (phases: " + ", ".join(
+                    f"{k} {v:.2f}s" for k, v in sorted(phases.items())) + ")"
+                   if phases else ""))
+        med = statistics.median(rates)
+        log(f"e2e [{tag}] median of {reps}: {med:.0f} reads/s")
+        if scores and kernel_aps and tag == "tpu":
+            sc = statistics.median(scores)
+            # each surviving read scores ~1 (ref, alt) pair; device time
+            # estimated from the kernel benchmark -> remainder is host
+            # gather + transfer + dispatch overhead
+            dev = n_pairs / kernel_aps * 2  # 2 alignments per read-pair task
+            log(f"score phase median {sc:.2f}s; est. pure-kernel "
+                f"{dev:.2f}s -> ~{max(sc-dev, 0):.2f}s transfer/dispatch "
+                f"({100*max(sc-dev,0)/sc:.0f}% of score phase)")
+        return med
 
-    cpu_rps = run("cpu-banded", ["--sw-mode", "banded", "--backend", "cpu"])
-    tpu_rps = run("tpu", ["--backend", "tpu"])
-    if cpu_rps:
-        log(f"e2e TPU vs multi-threaded CPU banded pipeline: "
-            f"{tpu_rps / cpu_rps:.1f}x")
-    return tpu_rps, cpu_rps
+    cpu = run_arm("cpu-banded", ["--sw-mode", "banded", "--backend", "cpu"])
+    tpu = run_arm("tpu", ["--backend", "tpu"])
+    if cpu:
+        log(f"e2e TPU vs multi-threaded CPU banded pipeline "
+            f"(median of {reps}): {tpu/cpu:.1f}x")
+    return tpu, cpu
 
 
 def main():
     value = bench_tpu_kernel()
     baseline = bench_cpu_baseline()
     try:
-        bench_e2e()
+        bench_e2e(kernel_aps=value)
     except Exception as e:  # e2e context metric must not sink the bench
         log(f"e2e bench failed: {e}")
     vs = (value / baseline) if baseline else None

@@ -131,6 +131,65 @@ void scan_aux(const uint8_t* p, const uint8_t* end, const char* tag1,
   }
 }
 
+// CG:B,I long-CIGAR tag: records with > 65535 ops carry a kSmN
+// placeholder cigar and the true ops in aux (htslib convention). Returns
+// a pointer to the packed uint32 ops + count, or nullptr.
+static const uint8_t* find_cg(const uint8_t* p, const uint8_t* end,
+                              int32_t* n_ops) {
+  while (p + 3 <= end) {
+    char t0 = (char)p[0], t1 = (char)p[1], typ = (char)p[2];
+    p += 3;
+    switch (typ) {
+      case 'Z':
+      case 'H':
+        while (p < end && *p) ++p;
+        ++p;
+        break;
+      case 'A': case 'c': case 'C': p += 1; break;
+      case 's': case 'S': p += 2; break;
+      case 'i': case 'I': case 'f': p += 4; break;
+      case 'B': {
+        if (p + 5 > end) return nullptr;
+        char sub = (char)p[0];
+        int32_t cnt;
+        memcpy(&cnt, p + 1, 4);
+        if (t0 == 'C' && t1 == 'G' && sub == 'I') {
+          *n_ops = cnt;
+          return p + 5;
+        }
+        int sz = (sub == 'c' || sub == 'C') ? 1 : (sub == 's' || sub == 'S') ? 2 : 4;
+        p += 5 + (int64_t)cnt * sz;
+        break;
+      }
+      default:
+        return nullptr;
+    }
+  }
+  return nullptr;
+}
+
+// Resolve a record's effective CIGAR: the in-record ops, or the CG tag's
+// when the in-record cigar is the kSmN placeholder.
+static void effective_cigar(const uint8_t* cig, uint16_t n_cigar,
+                            int32_t l_seq, const uint8_t* aux,
+                            const uint8_t* bend, const uint8_t** ops_out,
+                            int32_t* n_out) {
+  *ops_out = cig;
+  *n_out = n_cigar;
+  if (n_cigar != 2 || l_seq == 0) return;
+  uint32_t v0, v1;
+  memcpy(&v0, cig, 4);
+  memcpy(&v1, cig + 4, 4);
+  if ((v0 & 0xF) == 4 && (int32_t)(v0 >> 4) == l_seq && (v1 & 0xF) == 3) {
+    int32_t cnt = 0;
+    const uint8_t* cg = find_cg(aux, bend, &cnt);
+    if (cg) {
+      *ops_out = cg;
+      *n_out = cnt;
+    }
+  }
+}
+
 // Decode passes shared by the whole-file and region loaders: rec_ptr[i]
 // points at record i's 4-byte block_size prefix in some inflated buffer.
 static void decode_records(GioBam* h, const uint8_t* const* rec_ptr,
@@ -163,12 +222,16 @@ static void decode_records(GioBam* h, const uint8_t* const* rec_ptr,
       memcpy(&l_seq, body + 16, 4);
       seq_len[i] = l_seq;
       const uint8_t* cig = body + 32 + l_read_name;
+      const uint8_t* aux = cig + 4 * n_cigar + (l_seq + 1) / 2 + l_seq;
+      const uint8_t* ops;
+      int32_t n_ops;
+      effective_cigar(cig, n_cigar, l_seq, aux, bend, &ops, &n_ops);
       // count aligned intervals: runs of M/=/X/D separated by N
       int cnt = 0;
       bool open = false;
-      for (uint16_t c = 0; c < n_cigar; ++c) {
+      for (int32_t c = 0; c < n_ops; ++c) {
         uint32_t v;
-        memcpy(&v, cig + 4 * c, 4);
+        memcpy(&v, ops + 4 * c, 4);
         uint32_t op = v & 0xF;
         if (op == 0 || op == 7 || op == 8 || op == 2) {
           if (!open) { ++cnt; open = true; }
@@ -177,7 +240,6 @@ static void decode_records(GioBam* h, const uint8_t* const* rec_ptr,
         }
       }
       itv_cnt[i] = cnt;
-      const uint8_t* aux = cig + 4 * n_cigar + (l_seq + 1) / 2 + l_seq;
       const uint8_t *v1, *v2;
       int32_t l1, l2;
       scan_aux(aux, bend, cb_tag, ub_tag, &v1, &l1, &v2, &l2);
@@ -218,14 +280,18 @@ static void decode_records(GioBam* h, const uint8_t* const* rec_ptr,
       h->pos[i] = p0;
       h->flag[i] = flg;
       const uint8_t* cig = body + 32 + l_read_name;
+      const uint8_t* aux0 = cig + 4 * n_cigar + (l_seq + 1) / 2 + l_seq;
+      const uint8_t* ops;
+      int32_t n_ops;
+      effective_cigar(cig, n_cigar, l_seq, aux0, bend, &ops, &n_ops);
       // ref_end + aligned intervals
       int32_t rp = p0;
       int64_t iv = h->itv_off[i] * 2;
       bool open = false;
       int32_t ref_len = 0;
-      for (uint16_t c = 0; c < n_cigar; ++c) {
+      for (int32_t c = 0; c < n_ops; ++c) {
         uint32_t v;
-        memcpy(&v, cig + 4 * c, 4);
+        memcpy(&v, ops + 4 * c, 4);
         uint32_t op = v & 0xF;
         int32_t l = (int32_t)(v >> 4);
         bool consumes_ref = (op == 0 || op == 2 || op == 3 || op == 7 || op == 8);
@@ -593,11 +659,15 @@ GioBam* gio_bam_load_stream(const char* path, const char* cb_tag,
           memcpy(&l_seq, body + 16, 4);
           seq_len[i] = l_seq;
           const uint8_t* cig = body + 32 + l_read_name;
+          const uint8_t* aux = cig + 4 * n_cigar + (l_seq + 1) / 2 + l_seq;
+          const uint8_t* ops;
+          int32_t n_ops;
+          effective_cigar(cig, n_cigar, l_seq, aux, bend, &ops, &n_ops);
           int cnt = 0;
           bool open = false;
-          for (uint16_t c = 0; c < n_cigar; ++c) {
+          for (int32_t c = 0; c < n_ops; ++c) {
             uint32_t v;
-            memcpy(&v, cig + 4 * c, 4);
+            memcpy(&v, ops + 4 * c, 4);
             uint32_t op = v & 0xF;
             if (op == 0 || op == 7 || op == 8 || op == 2) {
               if (!open) { ++cnt; open = true; }
@@ -606,7 +676,6 @@ GioBam* gio_bam_load_stream(const char* path, const char* cb_tag,
             }
           }
           itv_cnt[i] = cnt;
-          const uint8_t* aux = cig + 4 * n_cigar + (l_seq + 1) / 2 + l_seq;
           const uint8_t *v1, *v2;
           int32_t l1, l2;
           scan_aux(aux, bend, cb_tag, "UB", &v1, &l1, &v2, &l2);
@@ -655,13 +724,17 @@ GioBam* gio_bam_load_stream(const char* path, const char* cb_tag,
           h->pos[gi] = p0;
           h->flag[gi] = flg;
           const uint8_t* cig = body + 32 + l_read_name;
+          const uint8_t* aux0 = cig + 4 * n_cigar + (l_seq + 1) / 2 + l_seq;
+          const uint8_t* ops;
+          int32_t n_ops;
+          effective_cigar(cig, n_cigar, l_seq, aux0, bend, &ops, &n_ops);
           int32_t rp = p0;
           int64_t iv = h->itv_off[gi] * 2;
           bool open = false;
           int32_t ref_len = 0;
-          for (uint16_t c = 0; c < n_cigar; ++c) {
+          for (int32_t c = 0; c < n_ops; ++c) {
             uint32_t v;
-            memcpy(&v, cig + 4 * c, 4);
+            memcpy(&v, ops + 4 * c, 4);
             uint32_t op = v & 0xF;
             int32_t l = (int32_t)(v >> 4);
             bool consumes_ref = (op == 0 || op == 2 || op == 3 || op == 7 || op == 8);

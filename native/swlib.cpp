@@ -159,9 +159,13 @@ int32_t banded_sw(const uint8_t* x, int32_t lx, const uint8_t* y, int32_t ly,
 // this construction induces (a monotone chain keeps it an interval).
 // Cells outside the band read H=0 (equivalent to starting a new local
 // alignment at the band edge), so banded_score <= full_score always.
-int32_t banded_sw_chained(const uint8_t* x, int32_t lx, const uint8_t* y,
-                          int32_t ly, int k, int w) {
-  if (lx < k || ly < k) return full_sw(x, lx, y, ly);
+// Build the chained band's per-row intervals into jlo/jhi (size lx).
+// Returns 0 = no k-mer seeds (empty band, score 0), 1 = banded,
+// 2 = sequences shorter than k (caller should use full SW).
+int build_chained_band(const uint8_t* x, int32_t lx, const uint8_t* y,
+                       int32_t ly, int k, int w, std::vector<int32_t>& jlo,
+                       std::vector<int32_t>& jhi) {
+  if (lx < k || ly < k) return 2;
   // hash y k-mers
   const int32_t ny = ly - k + 1;
   static thread_local std::vector<uint64_t> keys;
@@ -202,6 +206,7 @@ int32_t banded_sw_chained(const uint8_t* x, int32_t lx, const uint8_t* y,
   }
   if (matches.empty()) return 0;
   std::sort(matches.begin(), matches.end());
+  // (band construction continues below; jlo/jhi filled at the end)
   // chain anchors with a sparse DP: score = k*MATCH per anchor minus an
   // affine penalty for the (di, dj) jump between consecutive anchors
   size_t m = matches.size();
@@ -239,7 +244,6 @@ int32_t banded_sw_chained(const uint8_t* x, int32_t lx, const uint8_t* y,
   std::reverse(path.begin(), path.end());
   // band: per-row [jlo, jhi) from anchor diagonals widened by w, boxes
   // between consecutive anchors, and corner extensions at the ends
-  static thread_local std::vector<int32_t> jlo, jhi;
   jlo.assign(lx, INT32_MAX);
   jhi.assign(lx, INT32_MIN);
   auto add_box = [&](int32_t i0, int32_t i1, int32_t j0, int32_t j1) {
@@ -276,6 +280,15 @@ int32_t banded_sw_chained(const uint8_t* x, int32_t lx, const uint8_t* y,
     int32_t fwd = std::min(lx - i1, ly - j1);
     add_diag(i1, j1, fwd);
   }
+  return 1;
+}
+
+int32_t banded_sw_chained(const uint8_t* x, int32_t lx, const uint8_t* y,
+                          int32_t ly, int k, int w) {
+  static thread_local std::vector<int32_t> jlo, jhi;
+  int kind = build_chained_band(x, lx, y, ly, k, w, jlo, jhi);
+  if (kind == 2) return full_sw(x, lx, y, ly);
+  if (kind == 0) return 0;
   // DP restricted to per-row intervals (same evaluation as banded_sw)
   static thread_local std::vector<int32_t> H, F, Hd;
   H.assign(ly + 1, 0);
@@ -359,6 +372,42 @@ void banded_sw_chained_batch(const uint8_t* xs, const int64_t* x_off,
     out[i] = banded_sw_chained(
         xs + x_off[i], (int32_t)(x_off[i + 1] - x_off[i]),
         ys + y_off[i], (int32_t)(y_off[i + 1] - y_off[i]), k, w);
+  });
+}
+
+// Per-row chained-band intervals for device-side banded scoring: fills
+// jlo/jhi (int16 [n, lx_pad], y positions, [lo, hi) per read row; rows
+// beyond a pair's read length get [0, 0)). Sequences shorter than k fall
+// back to the FULL band [0, ly) per row (matching banded_sw_chained's
+// full-SW fallback); unseeded pairs get all-empty rows (score 0).
+void banded_bounds_batch(const uint8_t* xs, const int64_t* x_off,
+                         const uint8_t* ys, const int64_t* y_off,
+                         int64_t n, int32_t lx_pad, int16_t* jlo_out,
+                         int16_t* jhi_out, int n_threads, int k, int w) {
+  parallel_for(n, n_threads, [&](int64_t i) {
+    const uint8_t* x = xs + x_off[i];
+    int32_t lx = (int32_t)(x_off[i + 1] - x_off[i]);
+    const uint8_t* y = ys + y_off[i];
+    int32_t ly = (int32_t)(y_off[i + 1] - y_off[i]);
+    int16_t* lo = jlo_out + i * lx_pad;
+    int16_t* hi = jhi_out + i * lx_pad;
+    memset(lo, 0, sizeof(int16_t) * lx_pad);
+    memset(hi, 0, sizeof(int16_t) * lx_pad);
+    if (lx == 0 || ly == 0) return;
+    static thread_local std::vector<int32_t> jlo, jhi;
+    int kind = build_chained_band(x, lx, y, ly, k, w, jlo, jhi);
+    int32_t lim = std::min(lx, lx_pad);
+    if (kind == 2) {
+      for (int32_t r = 0; r < lim; ++r) hi[r] = (int16_t)ly;
+      return;
+    }
+    if (kind == 0) return;
+    for (int32_t r = 0; r < lim; ++r) {
+      if (jlo[r] < jhi[r]) {
+        lo[r] = (int16_t)jlo[r];
+        hi[r] = (int16_t)jhi[r];
+      }
+    }
   });
 }
 

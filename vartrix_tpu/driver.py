@@ -159,15 +159,27 @@ def _select_backend(name: str, n_threads: int = 1, sw_mode: str = "full"):
     """Return score_batch_fn(x, y) -> scores for the requested backend."""
     if sw_mode == "banded":
         # reference-parity banding (rust-bio style k=6/w=20 chained band,
-        # src/main.rs:898-901) on the threaded native aligner
+        # src/main.rs:898-901): band construction is always the native
+        # host one; the banded DP runs on the TPU (band-masked Pallas
+        # kernel, exactly equal to the CPU DP) for --backend tpu/auto,
+        # else on the threaded native aligner
         from .ops.sw_native import banded_sw_chained_batch_native, native_available
         if not native_available():
             log.error("--sw-mode banded requires the native CPU aligner "
                       "(build with native/build.sh)")
             sys.exit(1)
-        if name in ("tpu", "xla"):
-            log.error("--sw-mode banded runs on the native CPU aligner; "
-                      "ignoring --backend %s", name)
+        if name in ("tpu", "auto"):
+            try:
+                from .ops.sw_pallas import _on_tpu
+                from .ops.sw_pallas_v2 import make_banded_tpu_scorer
+                if _on_tpu() or name == "tpu":
+                    return make_banded_tpu_scorer(max(n_threads, 1))
+            except Exception as exc:
+                log.warning("banded TPU scorer unavailable (%s); using the "
+                            "native CPU aligner", exc)
+        elif name == "xla":
+            log.error("--sw-mode banded has no XLA path; using the native "
+                      "CPU aligner")
 
         def banded(x, y, _nt=max(n_threads, 1)):
             xs = [bytes(row[row != 0]) for row in np.asarray(x)]

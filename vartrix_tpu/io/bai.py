@@ -468,6 +468,109 @@ def build_bai(bam_path: str, bai_path: str | None = None) -> str:
     return bai_path
 
 
+def build_csi(bam_path: str, csi_path: str | None = None,
+              min_shift: int = 14, depth: int = 6) -> str:
+    """Build a .csi for an existing BAM. With the default depth 6 the
+    index covers positions up to 2^(14+3*6) = 2^32 — chromosomes longer
+    than BAI's 2^29 limit (the spec corner the reference inherits from
+    htslib: such BAMs are CSI-only). Layout mirrors htslib: BGZF-wrapped
+    "CSI\\x01", per-bin loffset, chunks, no linear index."""
+    import struct as _struct
+
+    from .bam import bgzf_decompress
+    from .bam_writer import bgzf_compress
+
+    def reg2bin_csi(beg: int, end: int) -> int:
+        end -= 1
+        l = depth
+        s = min_shift
+        t = ((1 << depth * 3) - 1) // 7
+        while l > 0:
+            if beg >> s == end >> s:
+                return t + (beg >> s)
+            s += 3
+            t -= 1 << ((l - 1) * 3)
+            l -= 1
+        return 0
+
+    with open(bam_path, "rb") as f:
+        raw = f.read()
+    blk_file_off, blk_u_off = [], []
+    pos = 0
+    total = 0
+    while pos + 28 <= len(raw):
+        xlen = _struct.unpack_from("<H", raw, pos + 10)[0]
+        xoff, xend = pos + 12, pos + 12 + xlen
+        bsize = None
+        while xoff + 4 <= xend:
+            slen = _struct.unpack_from("<H", raw, xoff + 2)[0]
+            if raw[xoff] == 66 and raw[xoff + 1] == 67 and slen == 2:
+                bsize = _struct.unpack_from("<H", raw, xoff + 4)[0] + 1
+            xoff += 4 + slen
+        isize = _struct.unpack_from("<I", raw, pos + bsize - 4)[0]
+        blk_file_off.append(pos)
+        blk_u_off.append(total)
+        total += isize
+        pos += bsize
+    data = bgzf_decompress(raw)
+
+    def voff(u: int) -> int:
+        import bisect
+        i = bisect.bisect_right(blk_u_off, u) - 1
+        return (blk_file_off[i] << 16) | (u - blk_u_off[i])
+
+    l_text = _struct.unpack_from("<i", data, 4)[0]
+    off = 8 + l_text
+    n_ref = _struct.unpack_from("<i", data, off)[0]
+    off += 4
+    for _ in range(n_ref):
+        l_name = _struct.unpack_from("<i", data, off)[0]
+        off += 8 + l_name
+    bins: List[Dict[int, List[Tuple[int, int]]]] = [dict() for _ in range(n_ref)]
+    loffs: List[Dict[int, int]] = [dict() for _ in range(n_ref)]
+    n = len(data)
+    while off + 4 <= n:
+        bs = _struct.unpack_from("<i", data, off)[0]
+        if bs <= 0 or off + 4 + bs > n:
+            break
+        vbeg, vend = voff(off), voff(off + 4 + bs)
+        tid, p0 = _struct.unpack_from("<ii", data, off + 4)
+        l_read_name = data[off + 4 + 8]
+        n_cigar = _struct.unpack_from("<H", data, off + 4 + 12)[0]
+        coff = off + 4 + 32 + l_read_name
+        ref_len = 0
+        for k in range(n_cigar):
+            v = _struct.unpack_from("<I", data, coff + 4 * k)[0]
+            if (v & 0xF) in (0, 2, 3, 7, 8):
+                ref_len += v >> 4
+        off += 4 + bs
+        if tid < 0 or tid >= n_ref or p0 < 0:
+            continue
+        end = p0 + max(ref_len, 1)
+        b = reg2bin_csi(p0, end)
+        chunks = bins[tid].setdefault(b, [])
+        if chunks and chunks[-1][1] == vbeg:
+            chunks[-1] = (chunks[-1][0], vend)
+        else:
+            chunks.append((vbeg, vend))
+        if b not in loffs[tid] or vbeg < loffs[tid][b]:
+            loffs[tid][b] = vbeg
+    parts = [b"CSI\x01", struct.pack("<iii", min_shift, depth, 0),
+             struct.pack("<i", n_ref)]
+    for tid in range(n_ref):
+        bd = bins[tid]
+        parts.append(struct.pack("<i", len(bd)))
+        for b in sorted(bd):
+            chunks = bd[b]
+            parts.append(struct.pack("<IQi", b, loffs[tid][b], len(chunks)))
+            for cb, ce in chunks:
+                parts.append(struct.pack("<QQ", cb, ce))
+    csi_path = csi_path or bam_path + ".csi"
+    with open(csi_path, "wb") as f:
+        f.write(bgzf_compress(b"".join(parts)))
+    return csi_path
+
+
 def index_main(argv=None) -> None:
     """CLI: vartrix-index FILE [...] — builds .bai for BAMs, .crai for
     CRAMs (content-detected), like `samtools index`."""

@@ -174,6 +174,37 @@ class BamRecord:
                 r += l
 
 
+def _find_cg_cigar(buf: bytes, off: int) -> Optional[List[Tuple[int, int]]]:
+    """Real CIGAR from a CG:B,I aux tag (BAM long-CIGAR convention for
+    records with > 65535 ops: the in-record cigar is a kSmN placeholder
+    and the true ops live in CG)."""
+    end = len(buf)
+    while off + 3 <= end:
+        t = buf[off : off + 2]
+        typ = buf[off + 2 : off + 3]
+        off += 3
+        if typ in (b"Z", b"H"):
+            off = buf.index(b"\x00", off) + 1
+        elif typ in (b"A", b"c", b"C"):
+            off += 1
+        elif typ in (b"s", b"S"):
+            off += 2
+        elif typ in (b"i", b"I", b"f"):
+            off += 4
+        elif typ == b"B":
+            sub = buf[off : off + 1]
+            cnt = struct.unpack_from("<i", buf, off + 1)[0]
+            size = {b"c": 1, b"C": 1, b"s": 2, b"S": 2,
+                    b"i": 4, b"I": 4, b"f": 4}[sub]
+            if t == b"CG" and sub == b"I":
+                vals = struct.unpack_from(f"<{cnt}I", buf, off + 5)
+                return [(v & 0xF, v >> 4) for v in vals]
+            off += 5 + cnt * size
+        else:
+            return None
+    return None
+
+
 def _decode_record(buf: bytes) -> BamRecord:
     (refid, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
      _next_refid, _next_pos, _tlen) = struct.unpack_from("<iiBBHHHiiii", buf, 0)
@@ -188,6 +219,13 @@ def _decode_record(buf: bytes) -> BamRecord:
     seq_off = off
     off += (l_seq + 1) // 2
     off += l_seq  # qual
+    if (n_cigar == 2 and l_seq > 0 and cigar[0] == (4, l_seq)
+            and cigar[1][0] == 3):
+        # kSmN placeholder: true CIGAR is in the CG:B,I tag (htslib
+        # long-CIGAR convention the reference inherits)
+        real = _find_cg_cigar(buf, off)
+        if real is not None:
+            cigar = real
     return BamRecord(buf, refid, pos, mapq, flag, cigar, seq_off, l_seq,
                      off, name_off, name_len)
 

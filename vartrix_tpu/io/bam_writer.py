@@ -82,17 +82,27 @@ def encode_record(
             return ((1 << 3) - 1) // 7 + (b >> 26)
         return 0
 
+    cg_tag = b""
+    rec_cigar = list(cigar)
+    if len(rec_cigar) > 0xFFFF:
+        # BAM long-CIGAR convention: in-record placeholder kSmN, true
+        # ops in a CG:B,I aux tag (htslib behavior for >65535 ops)
+        cg_tag = b"CGBI" + struct.pack("<i", len(rec_cigar))
+        for op, l in rec_cigar:
+            cg_tag += struct.pack("<I", (l << 4) | op)
+        rec_cigar = [(4, l_seq), (3, max(ref_consumed, 0))]
     body = struct.pack(
         "<iiBBHHHiiii",
         tid, pos, len(qname) + 1, mapq, reg2bin(pos, end),
-        len(cigar), flag, l_seq, -1, -1, 0,
+        len(rec_cigar), flag, l_seq, -1, -1, 0,
     )
     body += qname + b"\x00"
-    for op, l in cigar:
+    for op, l in rec_cigar:
         body += struct.pack("<I", (l << 4) | op)
     body += bytes(packed) + qual
     for tag, val in tags:
         body += tag + b"Z" + val + b"\x00"
+    body += cg_tag
     return struct.pack("<i", len(body)) + body
 
 

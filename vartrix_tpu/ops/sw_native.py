@@ -42,6 +42,13 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.c_int, ctypes.c_int, ctypes.c_int]
         except AttributeError:
             pass
+        try:  # per-row band bounds for device-side banded scoring
+            i16p = ctypes.POINTER(ctypes.c_int16)
+            lib.banded_bounds_batch.argtypes = [
+                u8p, i64p, u8p, i64p, ctypes.c_int64, ctypes.c_int32,
+                i16p, i16p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        except AttributeError:
+            pass
         _lib = lib
     return _lib
 
@@ -100,3 +107,30 @@ def banded_sw_chained_batch_native(xs: Sequence[bytes], ys: Sequence[bytes],
     (native/swlib.cpp banded_sw_chained). Always <= full SW."""
     return _run("banded_sw_chained_batch", xs, ys, n_threads,
                 (ctypes.c_int(k), ctypes.c_int(w)))
+
+
+def banded_bounds_batch_native(xs: Sequence[bytes], ys: Sequence[bytes],
+                               lx_pad: int, n_threads: int = 1, k: int = 6,
+                               w: int = 20):
+    """Per-row chained-band intervals [jlo, jhi) (int16 [n, lx_pad] each)
+    for device-side banded scoring. Sequences shorter than k get the full
+    band [0, ly); unseeded pairs get all-empty rows (score 0). The DP
+    restricted to these intervals reproduces banded_sw_chained exactly."""
+    lib = get_lib()
+    if not hasattr(lib, "banded_bounds_batch"):
+        return None
+    xp, xo = _pack(xs)
+    yp, yo = _pack(ys)
+    n = len(xs)
+    jlo = np.zeros((n, lx_pad), dtype=np.int16)
+    jhi = np.zeros((n, lx_pad), dtype=np.int16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.banded_bounds_batch(
+        xp.ctypes.data_as(u8p), xo.ctypes.data_as(i64p),
+        yp.ctypes.data_as(u8p), yo.ctypes.data_as(i64p),
+        ctypes.c_int64(n), ctypes.c_int32(lx_pad),
+        jlo.ctypes.data_as(i16p), jhi.ctypes.data_as(i16p),
+        ctypes.c_int(n_threads), ctypes.c_int(k), ctypes.c_int(w))
+    return jlo, jhi
