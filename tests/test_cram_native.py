@@ -142,3 +142,23 @@ def test_rans_roundtrip_python():
             enc = rans_encode_4x8(raw, order)
             assert enc is not None
             assert rans_decode_4x8(enc, len(raw)) == raw
+
+
+def test_embedded_reference_slices(dataset, tmp_path):
+    """htslib's embedded-reference profile: single-ref slices carrying
+    their reference segment in-band — the CRAM decodes with NO external
+    FASTA, through both the Python oracle and the native decoder."""
+    b = BamReader(dataset["bam"])
+    cram = str(tmp_path / "e.cram")
+    write_cram(cram, list(zip(b.ref_names, b.ref_lens)), b.records(),
+               fasta_path=dataset["fasta"], embed_ref=True,
+               records_per_container=500)
+    orig = ColumnarBam(dataset["bam"])
+    # native decode, no fasta
+    data = cram_decode_native(cram, None)
+    nat = ColumnarBam(cram, bam_bytes=data)
+    _columns_equal(nat, orig)
+    # python decode, no fasta
+    pybam = str(tmp_path / "e_py.bam")
+    transcode_to_bam(cram, pybam, None)
+    _columns_equal(ColumnarBam(pybam), orig)

@@ -1341,7 +1341,8 @@ _TAG_ID_BASE = 100
 def write_cram(path: str, refs: List[Tuple[str, int]], records,
                records_per_container: int = 10000,
                fasta_path: Optional[str] = None,
-               block_method: str = "gzip") -> None:
+               block_method: str = "gzip",
+               embed_ref: bool = False) -> None:
     """Write a CRAM 3.0 file from BamRecord-like objects (io/bam.py).
 
     Profile: multi-ref slices, absolute positions, read names preserved,
@@ -1354,6 +1355,11 @@ def write_cram(path: str, refs: List[Tuple[str, int]], records,
     block_method selects the data-block compressor: "gzip" (default),
     "rans0" or "rans1" (rANS 4x8 — htslib's default for short-read
     data; falls back per block when rANS doesn't shrink it).
+
+    embed_ref=True (requires fasta_path) writes SINGLE-REF slices that
+    carry their reference segment as an embedded block — the htslib
+    "embedded reference" profile: such CRAMs decode with no external
+    FASTA at all. Records are grouped by reference id.
     """
     recs = list(records)
     ref_fetch = None
@@ -1373,13 +1379,32 @@ def write_cram(path: str, refs: List[Tuple[str, int]], records,
                              landmarks=[0])
     out += hdr_block
 
-    for cstart in range(0, max(len(recs), 1), records_per_container):
-        chunk = recs[cstart : cstart + records_per_container]
-        if not chunk and recs:
-            break
-        out += _write_data_container(chunk, cstart, ref_fetch, block_method)
-        if not recs:
-            break
+    if embed_ref:
+        if ref_fetch is None:
+            raise ValueError("embed_ref requires fasta_path")
+        # group into runs of a single reference id
+        groups: List[List] = []
+        for rec in recs:
+            if groups and groups[-1][0].tid == rec.tid \
+                    and len(groups[-1]) < records_per_container:
+                groups[-1].append(rec)
+            else:
+                groups.append([rec])
+        counter = 0
+        for chunk in groups:
+            out += _write_data_container(chunk, counter, ref_fetch,
+                                         block_method,
+                                         slice_ref=chunk[0].tid)
+            counter += len(chunk)
+    else:
+        for cstart in range(0, max(len(recs), 1), records_per_container):
+            chunk = recs[cstart : cstart + records_per_container]
+            if not chunk and recs:
+                break
+            out += _write_data_container(chunk, cstart, ref_fetch,
+                                         block_method)
+            if not recs:
+                break
     out += CRAM_EOF
     with open(path, "wb") as f:
         f.write(bytes(out))
@@ -1398,7 +1423,8 @@ def _container_header(length, ref_id, start, span, n_rec, counter, bases,
 
 
 def _write_data_container(chunk, counter, ref_fetch=None,
-                          block_method: str = "gzip") -> bytes:
+                          block_method: str = "gzip",
+                          slice_ref: int = -2) -> bytes:
     streams: Dict[str, bytearray] = {k: bytearray() for k in _SERIES_IDS}
     tag_streams: Dict[int, bytearray] = {}
     tag_cids: Dict[int, int] = {}  # tkey -> content id (sequential, no collisions)
@@ -1438,7 +1464,8 @@ def _write_data_container(chunk, counter, ref_fetch=None,
         # also preserve any other Z tags? (CB/UB are what the engine uses)
         wi("BF", rec.flag)
         wi("CF", CF_QS_STORED)
-        wi("RI", rec.tid)
+        if slice_ref == -2:
+            wi("RI", rec.tid)
         wi("RL", rec.l_seq)
         wi("AP", rec.pos + 1)
         wi("RG", -1 & 0xFFFFFFFF if False else 0)
@@ -1576,23 +1603,40 @@ def _write_data_container(chunk, counter, ref_fetch=None,
         content_ids.append(cid)
     core_block = write_block(Block(0, CT_CORE, 0, b""), compress=False)
 
+    s_start0, s_span, emb_ref_id = 0, 0, -1
+    if slice_ref >= 0 and chunk:
+        s_start0 = min(r.pos for r in chunk)
+        s_end = max(r.endpos() for r in chunk)
+        s_span = max(s_end - s_start0, 0)
+        if ref_fetch is not None:
+            # embedded reference: the slice's ref segment ships in-band
+            EMB_CID = 99
+            emb = ref_fetch(slice_ref, s_start0, s_end)
+            data_blocks.append(write_block(
+                Block(0, CT_EXTERNAL, EMB_CID, bytes(emb)),
+                method_hint=block_method))
+            content_ids.append(EMB_CID)
+            emb_ref_id = EMB_CID
+
     shdr = bytearray()
-    shdr += write_itf8(-2)          # multi-ref slice
-    shdr += write_itf8(0)           # start
-    shdr += write_itf8(0)           # span
+    shdr += write_itf8(slice_ref)   # -2 = multi-ref slice
+    shdr += write_itf8(s_start0 + 1 if slice_ref >= 0 else 0)
+    shdr += write_itf8(s_span)
     shdr += write_itf8(len(chunk))  # n_records
     shdr += write_ltf8(counter)
     shdr += write_itf8(1 + len(data_blocks))  # core + externals
     shdr += write_itf8(len(content_ids))
     for cid in content_ids:
         shdr += write_itf8(cid)
-    shdr += write_itf8(-1)          # no embedded reference
+    shdr += write_itf8(emb_ref_id)
     shdr += b"\x00" * 16            # md5
     slice_hdr_block = write_block(Block(0, CT_SLICE_HEADER, 0, bytes(shdr)))
 
     blocks = ch_block + slice_hdr_block + core_block + b"".join(data_blocks)
     landmarks = [len(ch_block)]
-    cont = _container_header(len(blocks), ref_id=-2, start=0, span=0,
+    cont = _container_header(len(blocks), ref_id=slice_ref,
+                             start=s_start0 + 1 if slice_ref >= 0 else 0,
+                             span=s_span,
                              n_rec=len(chunk), counter=counter,
                              bases=n_bases, n_blocks=3 + len(data_blocks),
                              landmarks=landmarks)

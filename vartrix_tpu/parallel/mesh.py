@@ -44,16 +44,17 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
 def _local_step_pallas(x_u8, hap_mat, idx_ref, idx_alt, rows, cells, valid,
                        *, n_rows, n_cells, lx, ly, interpret):
     """Per-device shard computation on the PRODUCTION kernel path: the
-    compact-protocol Pallas wavefront (same code --mesh-devices runs,
-    ops/sw_pallas_v2._sw_compact) scores the shard's pairs against both
-    haplotypes, then calls -> partial counts -> psum merge."""
-    from ..ops.sw_pallas_v2 import _sw_compact
+    CHAINED-PAIR Pallas wavefront (each lane scores one read against its
+    ref++alt haplotypes in one sweep — the round-3 production kernel)
+    scores the shard's reads, then calls -> partial counts -> psum
+    merge."""
+    from ..ops.sw_pallas_v2 import _sw_pair_chained
 
-    ref_scores = _sw_compact(x_u8, hap_mat, idx_ref, lx=lx, ly=ly,
-                             interpret=interpret)[0]
-    alt_scores = _sw_compact(x_u8, hap_mat, idx_alt, lx=lx, ly=ly,
-                             interpret=interpret)[0]
-    calls = device_agg.calls_from_scores(ref_scores, alt_scores)
+    R = x_u8.shape[0]
+    idx2 = jnp.stack([idx_ref, idx_alt], axis=1).reshape(2 * R)
+    scores = _sw_pair_chained(x_u8, hap_mat, idx2, lx=lx, ly=ly,
+                              interpret=interpret)
+    calls = device_agg.calls_from_scores(scores[0], scores[1])
     counts = device_agg.count_block(calls, rows, cells, valid, n_rows, n_cells)
     counts = jax.lax.psum(counts, AXIS)
     n_reads = jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), AXIS)
