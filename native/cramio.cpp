@@ -327,6 +327,29 @@ struct ExtStream {
   }
 };
 
+
+// Flat external-stream table: content ids are small ints in practice;
+// O(1) per-field access instead of a hash lookup (the slice decode does
+// ~20 stream reads per record).
+struct ExtTable {
+  std::vector<ExtStream> slots;
+  std::vector<char> present;
+  ExtStream& at(int32_t id) {
+    if (id < 0 || (size_t)id >= slots.size() || !present[id])
+      throw CramError("missing external block " + std::to_string(id));
+    return slots[(size_t)id];
+  }
+  ExtStream& put(int32_t id) {
+    if (id < 0 || id > (1 << 20)) throw CramError("content id out of range");
+    if ((size_t)id >= slots.size()) {
+      slots.resize((size_t)id + 1);
+      present.resize((size_t)id + 1, 0);
+    }
+    present[(size_t)id] = 1;
+    return slots[(size_t)id];
+  }
+};
+
 // ---------------------------------------------------------------------------
 // encodings
 
@@ -396,7 +419,7 @@ struct Encoding {
   }
 
   int32_t read_int(BitReader& core,
-                   std::unordered_map<int32_t, ExtStream>& ext) const {
+                   ExtTable& ext) const {
     if (codec == C_EXTERNAL) return ext.at(content_id).read_itf8_v();
     if (codec == C_HUFFMAN) {
       if (single) return alphabet[0];
@@ -413,13 +436,13 @@ struct Encoding {
   }
 
   uint8_t read_byte(BitReader& core,
-                    std::unordered_map<int32_t, ExtStream>& ext) const {
+                    ExtTable& ext) const {
     if (codec == C_EXTERNAL) return ext.at(content_id).read_byte();
     return (uint8_t)read_int(core, ext);
   }
 
   void read_bytes(int32_t n_hint, BitReader& core,
-                  std::unordered_map<int32_t, ExtStream>& ext,
+                  ExtTable& ext,
                   std::vector<uint8_t>& out) const {
     out.clear();
     if (codec == C_BYTE_ARRAY_STOP) {
@@ -686,7 +709,7 @@ constexpr int CF_MATE_DOWNSTREAM = 0x4;
 struct SliceCtx {
   const CompressionHeader* ch;
   BitReader core;
-  std::unordered_map<int32_t, ExtStream> ext;
+  ExtTable ext;
   // embedded reference for this slice (or none)
   const uint8_t* emb = nullptr;
   size_t emb_len = 0;
@@ -695,11 +718,17 @@ struct SliceCtx {
   FastaRef* fasta = nullptr;
   const std::vector<std::string>* ref_names = nullptr;
 
+  std::vector<const Encoding*> series;  // indexed by skey (2-char id)
+
+  void build_series_table() {
+    series.assign(1 << 16, nullptr);
+    for (auto& [k, e] : ch->encodings) series[k] = &e;
+  }
   const Encoding& enc(const char* key) const {
-    auto it = ch->encodings.find(CompressionHeader::skey(key));
-    if (it == ch->encodings.end())
+    const Encoding* e = series[CompressionHeader::skey(key)];
+    if (!e)
       throw CramError(std::string("missing data series encoding ") + key);
-    return it->second;
+    return *e;
   }
   int32_t rint(const char* key) { return enc(key).read_int(core, ext); }
   uint8_t rbyte(const char* key) { return enc(key).read_byte(core, ext); }
@@ -990,6 +1019,7 @@ void decode_container(const uint8_t* raw, size_t len, size_t off,
     ++bi;
     SliceCtx sc;
     sc.ch = &ch;
+    sc.build_series_table();
     sc.fasta = fasta;
     sc.ref_names = ref_names;
     sc.slice_start0 = s_start - 1;
@@ -1004,7 +1034,7 @@ void decode_container(const uint8_t* raw, size_t len, size_t off,
           sc.emb_len = blk.data.size();
           sc.emb_ref = s_ref;
         }
-        ExtStream& es = sc.ext[blk.content_id];
+        ExtStream& es = sc.ext.put(blk.content_id);
         es.data = blk.data.data();
         es.len = blk.data.size();
       }

@@ -269,3 +269,26 @@ def test_streaming_merge_equals_vectorized(tmp_path):
     for (ka, va), (kb, vb) in zip(ia, ib):
         assert ka == kb
         assert va == vb or (np.isnan(va) and np.isnan(vb))
+
+
+def test_mesh_scorer_fused_pair_calls_matches_single_device():
+    """The mesh scorer's fused chained-pair protocol (what --mesh-devices
+    runs through score_all_fast) must equal single-device call codes."""
+    import numpy as np
+
+    from vartrix_tpu.core.agg_numpy import codes_from_scores
+    from vartrix_tpu.ops.sw_pallas_v2 import (make_mesh_scorer,
+                                              sw_scores_pair_tpu)
+
+    rng = np.random.default_rng(19)
+    R, H, lx, ly = 512, 32, 32, 48
+    x = rng.integers(65, 69, size=(R, lx), dtype=np.uint8)
+    haps = rng.integers(65, 69, size=(H, ly), dtype=np.uint8)
+    for i in range(0, R, 7):  # embed some reads for real calls
+        haps[i % H, 2 : 2 + lx] = x[i, :lx] if lx <= ly - 2 else haps[i % H, 2:2+lx]
+    idx_ref = rng.integers(0, H, size=R).astype(np.int32)
+    idx_alt = rng.integers(0, H, size=R).astype(np.int32)
+    scorer = make_mesh_scorer()
+    got = scorer.pair_calls_chained(x, haps, idx_ref, idx_alt)
+    exp = codes_from_scores(sw_scores_pair_tpu(x, haps, idx_ref, idx_alt))
+    np.testing.assert_array_equal(got, exp)

@@ -338,8 +338,7 @@ def score_all_fast(
     arrays — or per-variant [n] int8 CALL CODES when the backend offers a
     fused score->call pair entry (production TPU default; the aggregation
     layer accepts both)."""
-    pair_fn = getattr(score_batch_fn, "pair", None)
-    if pair_fn is not None and os.environ.get("VARTRIX_PAIR", "1") != "0":
+    if os.environ.get("VARTRIX_PAIR", "1") != "0":
         # chained-pair kernel (corner packing) measured +12% on-chip over
         # the two-lane pair kernel (docs/KERNEL.md); VARTRIX_CHAINED=0
         # opts back into the two-lane layout
@@ -350,9 +349,11 @@ def score_all_fast(
                 and os.environ.get("VARTRIX_FUSED_CALLS", "1") != "0"):
             return _score_all_pairs(cbam, works, read_idx, calls_fn,
                                     lx_quantum, ly_quantum, codes=True)
-        pair_fn = getattr(score_batch_fn, "pair" + suffix, pair_fn)
-        return _score_all_pairs(cbam, works, read_idx, pair_fn,
-                                lx_quantum, ly_quantum)
+        pair_fn = getattr(score_batch_fn, "pair" + suffix,
+                          getattr(score_batch_fn, "pair", None))
+        if pair_fn is not None:
+            return _score_all_pairs(cbam, works, read_idx, pair_fn,
+                                    lx_quantum, ly_quantum)
     def q(v: int, quantum: int) -> int:
         return max(quantum, ((v + quantum - 1) // quantum) * quantum)
 

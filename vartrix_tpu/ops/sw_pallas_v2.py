@@ -468,6 +468,20 @@ def make_mesh_scorer(n_devices: int = 0, unroll: int = UNROLL_DEFAULT):
                        out_specs=P(None, "shard"), check_rep=False)
         return fn(x_u8, hap_mat, hap_idx)
 
+    @functools.partial(jax.jit, static_argnames=("lx", "ly"))
+    def _sharded_pair_calls(x_u8, hap_mat, idx2, *, lx, ly):
+        def local(x_c, haps, idx2_c):
+            return _sw_pair_chained_calls(x_c, haps, idx2_c, lx=lx, ly=ly,
+                                          interpret=interpret, unroll=unroll)
+
+        # reads shard on the batch axis; idx2's per-device chunk is
+        # 2*(R/n) entries — even, so interleaved (ref, alt) pairs never
+        # split across devices
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(P("shard"), P(), P("shard")),
+                       out_specs=P("shard"), check_rep=False)
+        return fn(x_u8, hap_mat, idx2)
+
     def scorer(x: np.ndarray, y: np.ndarray) -> np.ndarray:
         # plain entry: chunk so the replicated per-chunk hap matrix stays
         # bounded (<= CHUNK x ly per device) and compiled shapes are
@@ -508,7 +522,37 @@ def make_mesh_scorer(n_devices: int = 0, unroll: int = UNROLL_DEFAULT):
             out[s : s + cn] = np.asarray(r)[0, :cn]
         return out
 
+    def pair_calls(x, hap_mat: np.ndarray, idx_ref: np.ndarray,
+                   idx_alt: np.ndarray) -> np.ndarray:
+        """Fused chained-pair protocol over the mesh -> int8 codes [R]."""
+        provider = callable(x)
+        R, lx = x.shape
+        ly = hap_mat.shape[1]
+        hap_dev = jnp.asarray(hap_mat)
+        out = np.empty(R, dtype=np.int8)
+        results, spans = [], []
+        half = CHUNK // 2
+        start = 0
+        while start < R:
+            cn = min(half, R - start)
+            q = n * LANES
+            bp = ((max(_quantized_batch(cn), q) + q - 1) // q) * q
+            xc = np.zeros((bp, lx), dtype=np.uint8)
+            xc[:cn] = x(start, cn) if provider else x[start : start + cn]
+            idx2 = np.zeros(2 * bp, dtype=np.int32)
+            idx2[0 : 2 * cn : 2] = idx_ref[start : start + cn]
+            idx2[1 : 2 * cn : 2] = idx_alt[start : start + cn]
+            results.append(_sharded_pair_calls(jnp.asarray(xc), hap_dev,
+                                               jnp.asarray(idx2),
+                                               lx=lx, ly=ly))
+            spans.append((start, cn))
+            start += cn
+        for r, (s, cn) in zip(results, spans):
+            out[s : s + cn] = np.asarray(r)[:cn]
+        return out
+
     scorer.compact = compact
+    scorer.pair_calls_chained = pair_calls
     scorer.mesh = mesh
     return scorer
 
