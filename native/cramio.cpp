@@ -736,6 +736,11 @@ struct SliceCtx {
     enc(key).read_bytes(n_hint, core, ext, out);
   }
 
+  // per-slice resolved-chromosome cache: FastaRef::chrom_seq takes a
+  // mutex (shared across decode threads); resolve each ri once per slice
+  int32_t cached_ri = -9;
+  const std::vector<uint8_t>* cached_seq = nullptr;
+
   // fetch [s, e) of reference ri into out (uppercased; 'N' when absent)
   void ref_fetch(int32_t ri, int64_t s, int64_t e, uint8_t* out) {
     int64_t n = e - s;
@@ -749,10 +754,13 @@ struct SliceCtx {
       base = s - slice_start0;
     } else if (fasta && fasta->ok && ri >= 0 &&
                (size_t)ri < ref_names->size()) {
-      const std::vector<uint8_t>* seq = fasta->chrom_seq(ri, (*ref_names)[ri]);
-      if (seq) {
-        src = seq->data();
-        src_len = seq->size();
+      if (ri != cached_ri) {
+        cached_seq = fasta->chrom_seq(ri, (*ref_names)[ri]);
+        cached_ri = ri;
+      }
+      if (cached_seq) {
+        src = cached_seq->data();
+        src_len = cached_seq->size();
       }
     }
     if (src && base >= 0 && (size_t)(base + n) <= src_len) {

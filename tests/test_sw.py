@@ -293,3 +293,30 @@ def test_chained_pair_kernel_random_indel_heavy():
         x, haps, np.arange(2 * R, dtype=np.int32),
         lx=lx, ly=ly, interpret=not _on_tpu()))
     np.testing.assert_array_equal(got, exp)
+
+
+def test_packed_pair_calls_match_unpacked():
+    # 4-bit packed read transfer must be lossless for NT16-alphabet reads
+    # (incl. pad and 'N'), matching the unpacked fused-calls entry
+    from vartrix_tpu.ops.sw_pallas_v2 import (
+        sw_calls_pair_chained_packed_tpu, sw_calls_pair_chained_tpu)
+
+    rng = np.random.default_rng(29)
+    R, H, lx, ly = 256, 24, 33, 48  # odd lx exercises the pad nibble
+    alphabet = np.frombuffer(b"ACGTN=MRSVWYHKDB", np.uint8)
+    x = np.zeros((R, lx), np.uint8)
+    for i in range(R):
+        n = int(rng.integers(1, lx + 1))
+        x[i, :n] = rng.choice(alphabet, n)
+    haps = rng.integers(65, 91, size=(H, ly), dtype=np.uint8)
+    for i in range(0, R, 5):
+        emb = x[i, : lx - 4].copy()
+        # haplotypes come from FASTA and never contain '=' or pad bytes —
+        # the invariant that makes '='-to-pad code sharing lossless
+        emb[(emb == ord("=")) | (emb == 0)] = ord("A")
+        haps[i % H, 2 : 2 + lx - 4] = emb
+    idx_ref = rng.integers(0, H, size=R).astype(np.int32)
+    idx_alt = rng.integers(0, H, size=R).astype(np.int32)
+    got = sw_calls_pair_chained_packed_tpu(x, haps, idx_ref, idx_alt)
+    exp = sw_calls_pair_chained_tpu(x, haps, idx_ref, idx_alt)
+    np.testing.assert_array_equal(got, exp)

@@ -230,11 +230,11 @@ def get_cram_lib() -> Optional[ctypes.CDLL]:
 
 def cram_decode_native(path: str, fasta_path: Optional[str],
                        offsets=None, n_threads: int = 0) -> bytes:
-    """Decode a CRAM into a raw BAM byte stream with libcramio.
-    `offsets`: optional container byte offsets (the .crai region plan).
-    Raises RuntimeError when the library is unavailable or the file uses
-    a feature it does not support (caller falls back to the Python
-    oracle, io/cram.py)."""
+    """Decode a CRAM into a raw BAM byte stream (uint8 ndarray) with
+    libcramio. `offsets`: optional container byte offsets (the .crai
+    region plan). Raises RuntimeError when the library is unavailable or
+    the file uses a feature it does not support (caller falls back to
+    the Python oracle, io/cram.py)."""
     lib = get_cram_lib()
     if lib is None:
         raise RuntimeError("libcramio unavailable")
@@ -252,7 +252,10 @@ def cram_decode_native(path: str, fasta_path: Optional[str],
         if err:
             raise RuntimeError(f"native CRAM decode: {err.decode()}")
         n = int(lib.cram_bam_len(h))
-        return ctypes.string_at(lib.cram_bam_data(h), n)
+        # NOT ctypes.string_at: its size parameter is a C int, silently
+        # truncating streams > 2 GB (large-CRAM corruption)
+        view = np.ctypeslib.as_array(lib.cram_bam_data(h), shape=(n,))
+        return view.copy()
     finally:
         lib.cram_bam_free(h)
 
@@ -274,9 +277,14 @@ class ColumnarBam:
             if not hasattr(lib, "gio_bam_load_bytes"):
                 raise RuntimeError("libgenomio predates gio_bam_load_bytes; "
                                    "rebuild with native/build.sh")
-            buf = (ctypes.c_uint8 * len(bam_bytes)).from_buffer_copy(bam_bytes)
+            # accepts bytes or a uint8 ndarray (the native CRAM decoder
+            # returns the latter — no 2 GB ctypes copy limits)
+            arr = np.frombuffer(bam_bytes, dtype=np.uint8) \
+                if isinstance(bam_bytes, (bytes, bytearray)) \
+                else np.ascontiguousarray(bam_bytes, dtype=np.uint8)
             self._h = lib.gio_bam_load_bytes(
-                buf, ctypes.c_int64(len(bam_bytes)), cb_tag, n_threads)
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_int64(len(arr)), cb_tag, n_threads)
         elif chunks is not None:
             if not hasattr(lib, "gio_bam_load_regions"):
                 raise RuntimeError("libgenomio predates gio_bam_load_regions; "

@@ -960,3 +960,85 @@ def make_banded_tpu_scorer(n_threads: int = 1, k: int = 6, w: int = 20):
         return out
 
     return scorer
+
+
+# ---------------------------------------------------------------------------
+# 4-bit packed read transfer (re-A/B per VERDICT r2 #1a: with fused int8
+# call returns, the h2d read bytes are the dominant remaining transfer).
+# Reads decode from 4-bit BAM SEQ codes, so packing is lossless: host maps
+# bytes back to NT16 codes (pad byte 0 and '=' share code 0 — both
+# mismatch everything, including the haplotype pad byte 1, so scores are
+# identical), ships 2 bases/byte, and the device unpacks + LUTs back.
+# ---------------------------------------------------------------------------
+
+_SEQ_NT16 = np.frombuffer(b"\x00ACMGRSVTWYHKDBN", np.uint8)  # code 0 -> pad
+_BYTE_TO_CODE = np.full(256, 15, np.uint8)  # unknown -> 'N'
+for _c, _b in enumerate(_SEQ_NT16):
+    _BYTE_TO_CODE[_b] = _c
+_BYTE_TO_CODE[ord("=")] = 0
+
+
+def _pack_reads4(x: np.ndarray) -> np.ndarray:
+    """uint8 [R, lx] bytes -> [R, ceil(lx/2)] packed nibbles."""
+    R, lx = x.shape
+    codes = _BYTE_TO_CODE[x]
+    if lx % 2:
+        codes = np.concatenate([codes, np.zeros((R, 1), np.uint8)], axis=1)
+    return (codes[:, 0::2] << 4) | codes[:, 1::2]
+
+
+@functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
+def _sw_pair_chained_calls_packed(xp: jax.Array, hap_mat: jax.Array,
+                                  idx2: jax.Array, *, lx: int, ly: int,
+                                  interpret: bool,
+                                  unroll: int = UNROLL_DEFAULT) -> jax.Array:
+    lut = jnp.asarray(_SEQ_NT16)
+    hi = (xp >> 4).astype(jnp.int32)
+    lo = (xp & 0xF).astype(jnp.int32)
+    codes = jnp.stack([hi, lo], axis=2).reshape(xp.shape[0], -1)[:, :lx]
+    x_u8 = lut[codes].astype(jnp.uint8)
+    return _sw_pair_chained_calls(x_u8, hap_mat, idx2, lx=lx, ly=ly,
+                                  interpret=interpret, unroll=unroll)
+
+
+def sw_calls_pair_chained_packed_tpu(x, hap_mat: np.ndarray,
+                                     idx_ref: np.ndarray,
+                                     idx_alt: np.ndarray,
+                                     unroll: int = UNROLL_DEFAULT) -> np.ndarray:
+    provider = callable(x)
+    R, lx = x.shape
+    ly = hap_mat.shape[1]
+    interpret = not _on_tpu()
+    hap_dev = jnp.asarray(hap_mat)
+    out = np.empty(R, dtype=np.int8)
+    results, spans = [], []
+    half = CHUNK // 2
+    start = 0
+    while start < R:
+        n = min(half, R - start)
+        bp = max(_quantized_batch(2 * n) // 2, LANES)
+        xc = np.zeros((bp, lx), dtype=np.uint8)
+        xc[:n] = x(start, n) if provider else x[start : start + n]
+        idx2 = np.zeros(2 * bp, dtype=np.int32)
+        idx2[0 : 2 * n : 2] = idx_ref[start : start + n]
+        idx2[1 : 2 * n : 2] = idx_alt[start : start + n]
+        results.append(_sw_pair_chained_calls_packed(
+            jnp.asarray(_pack_reads4(xc)), hap_dev, jnp.asarray(idx2),
+            lx=lx, ly=ly, interpret=interpret, unroll=unroll))
+        spans.append((start, n))
+        start += n
+    for r, (s, n) in zip(results, spans):
+        out[s : s + n] = np.asarray(r)[:n]
+    return out
+
+
+def _pair_calls_chained_dispatch(x, hap_mat, idx_ref, idx_alt,
+                                 unroll: int = UNROLL_DEFAULT):
+    import os as _os
+    if _os.environ.get("VARTRIX_PACK4", "0") == "1":
+        return sw_calls_pair_chained_packed_tpu(x, hap_mat, idx_ref,
+                                                idx_alt, unroll)
+    return sw_calls_pair_chained_tpu(x, hap_mat, idx_ref, idx_alt, unroll)
+
+
+sw_scores_batch_tpu_v2.pair_calls_chained = _pair_calls_chained_dispatch
