@@ -197,19 +197,39 @@ def bench_e2e(kernel_aps=None, reps=3):
 
 
 def main():
-    value = bench_tpu_kernel()
+    # The axon relay intermittently hangs whole-process (even trivial
+    # jnp ops; observed round 3). Run the device benches on a watchdog
+    # thread: if the TPU is unreachable, still emit an honest JSON line
+    # (value null) instead of hanging the round's bench capture.
+    import threading
+
+    result = {}
+
+    def _device_benches():
+        result["kernel"] = bench_tpu_kernel()
+        try:
+            bench_e2e(kernel_aps=result["kernel"])
+        except Exception as e:  # e2e context metric must not sink the bench
+            log(f"e2e bench failed: {e}")
+        result["done"] = True
+
+    worker = threading.Thread(target=_device_benches, daemon=True)
+    worker.start()
+    worker.join(timeout=2100)
     baseline = bench_cpu_baseline()
-    try:
-        bench_e2e(kernel_aps=value)
-    except Exception as e:  # e2e context metric must not sink the bench
-        log(f"e2e bench failed: {e}")
-    vs = (value / baseline) if baseline else None
+    value = result.get("kernel")
+    if value is None:
+        log("TPU unreachable (kernel bench timed out); emitting null value "
+            "— see BASELINE.md round-3 table for on-chip measurements")
+    vs = (value / baseline) if (value and baseline) else None
     print(json.dumps({
         "metric": "sw_alignments_per_sec_chip",
-        "value": round(value, 1),
+        "value": round(value, 1) if value else None,
         "unit": "alignments/s",
         "vs_baseline": round(vs, 2) if vs else None,
     }), flush=True)
+    if not result.get("done"):
+        os._exit(0)  # don't block shutdown on a hung relay call
 
 
 if __name__ == "__main__":
