@@ -320,3 +320,92 @@ def test_packed_pair_calls_match_unpacked():
     got = sw_calls_pair_chained_packed_tpu(x, haps, idx_ref, idx_alt)
     exp = sw_calls_pair_chained_tpu(x, haps, idx_ref, idx_alt)
     np.testing.assert_array_equal(got, exp)
+
+
+def test_quad_chain_kernel_matches_oracle():
+    # v6 quad-chain kernel: two reads per lane, four segments along y
+    # with an x-tile switch at j == 2*ly; per-problem maxima must equal
+    # independent SW, incl. boundary-embedded high scorers
+    from vartrix_tpu.ops.sw_pallas import _on_tpu
+    from vartrix_tpu.ops.sw_pallas_v2 import _sw_pair_quad, quad_feasible
+
+    lx, ly = 32, 48
+    assert quad_feasible(lx, ly)
+    rng = np.random.default_rng(31)
+    R = 256  # 128 lanes
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    x = np.zeros((R, lx), np.uint8)
+    haps = np.ones((2 * R, ly), np.uint8)
+    exp = np.zeros((2, R), np.int32)
+    for i in range(R):
+        xl = int(rng.integers(1, lx + 1))
+        x[i, :xl] = rng.choice(bases, xl)
+        for w in range(2):
+            if i == 7 and w == 1:
+                continue  # empty alt haplotype -> score 0
+            yl = int(rng.integers(1, ly + 1))
+            hap = rng.choice(bases, yl)
+            if rng.random() < 0.5 and yl > xl:
+                s = int(rng.integers(0, yl - xl + 1))
+                hap[s : s + xl] = x[i, :xl]
+            haps[2 * i + w, :yl] = hap
+            exp[w, i] = sw_score_single(
+                bytes(x[i, :xl]), bytes(hap.tobytes()))
+    got = np.asarray(_sw_pair_quad(
+        x, haps, np.arange(2 * R, dtype=np.int32),
+        lx=lx, ly=ly, interpret=not _on_tpu()))
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_quad_read_switch_no_leak():
+    # adversarial for the v6 read switch: read 2 embedded in read 1's
+    # alt haplotype (and vice versa) must NOT leak across the 2*ly
+    # boundary — each read only scores against its own segments
+    from vartrix_tpu.ops.sw_pallas import _on_tpu
+    from vartrix_tpu.ops.sw_pallas_v2 import _sw_pair_quad
+
+    lx, ly = 32, 48
+    r1 = (b"ACGT" * 8)[:lx]
+    r2 = (b"TTGGCCAA" * 4)[:lx]
+    # r1alt ends with a prefix of r2; r2ref starts with a suffix of r1:
+    # a leaky kernel would chain these into a big cross-boundary match
+    r1alt = (b"G" * 16 + r2[:lx])[:ly]
+    r2ref = (r1[16:] + b"C" * 32)[:ly]
+    x = np.zeros((256, lx), np.uint8)
+    haps = np.ones((512, ly), np.uint8)
+    x[0] = np.frombuffer(r1, np.uint8)
+    x[1] = np.frombuffer(r2, np.uint8)
+    cases = [b"A" * ly, r1alt, r2ref, b"C" * ly]
+    for w, h in enumerate(cases):
+        haps[w, : len(h)] = np.frombuffer(h[:ly], np.uint8)
+    exp0 = [sw_score_single(r1, cases[0]), sw_score_single(r1, cases[1])]
+    exp1 = [sw_score_single(r2, cases[2]), sw_score_single(r2, cases[3])]
+    idx2 = np.zeros(512, np.int32)
+    idx2[:4] = [0, 1, 2, 3]
+    got = np.asarray(_sw_pair_quad(
+        x, haps, idx2, lx=lx, ly=ly, interpret=not _on_tpu()))
+    assert got[:, 0].tolist() == exp0
+    assert got[:, 1].tolist() == exp1
+
+
+def test_quad_calls_match_chained_calls():
+    # the quad fused-calls entry must agree with the v5 chained entry
+    # (same codes) on a mixed batch, odd batch size exercises lane pad
+    from vartrix_tpu.ops.sw_pallas_v2 import (sw_calls_pair_chained_tpu,
+                                              sw_calls_pair_quad_tpu)
+
+    rng = np.random.default_rng(37)
+    R, H, lx, ly = 301, 24, 32, 48
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    x = np.zeros((R, lx), np.uint8)
+    for i in range(R):
+        n = int(rng.integers(8, lx + 1))
+        x[i, :n] = rng.choice(bases, n)
+    haps = rng.choice(bases, size=(H, ly)).astype(np.uint8)
+    for i in range(0, R, 3):
+        haps[i % H, 4 : 4 + lx - 8] = x[i, : lx - 8]
+    idx_ref = rng.integers(0, H, size=R).astype(np.int32)
+    idx_alt = rng.integers(0, H, size=R).astype(np.int32)
+    got = sw_calls_pair_quad_tpu(x, haps, idx_ref, idx_alt)
+    exp = sw_calls_pair_chained_tpu(x, haps, idx_ref, idx_alt)
+    np.testing.assert_array_equal(got, exp)

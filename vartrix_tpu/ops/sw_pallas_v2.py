@@ -795,6 +795,300 @@ sw_scores_batch_tpu_v2.pair_calls_chained = sw_calls_pair_chained_tpu
 
 
 # ---------------------------------------------------------------------------
+# v6: quad-chain kernel (k=4 corner packing — TWO reads per lane).
+#
+# Each lane scores TWO reads, each against its own (ref, alt) pair, all
+# four problems chained along y: Y = r1ref ++ r1alt ++ r2ref ++ r2alt
+# (each segment padded to ly). Issued diagonals per two pairs drop from
+# 2*(lx+2*ly-1) [two v5 lanes] to lx+4*ly-1 (-13% at 152x208; useful
+# fraction 73% -> 85%). The x tile SWITCHES from read 1 to read 2 at the
+# j == 2*ly boundary: on those lx diagonals the substitution operand is
+# row-selected between the two x tiles (cells at rows i <= d-2ly are in
+# segment >= 2). Requires the three boundary windows [m*ly, m*ly+lx-1]
+# to be disjoint in unroll-group units (quad_feasible) — true for the
+# production shapes (lx quantum 16 <= ly quantum 32); callers fall back
+# to v5 otherwise. Out block is [4, LANES].
+# ---------------------------------------------------------------------------
+
+
+def quad_feasible(lx: int, ly: int, unroll: int = UNROLL_DEFAULT) -> bool:
+    """The three segment-boundary windows must occupy disjoint unroll
+    groups so each group runs exactly one phase body."""
+    u = unroll
+    c1e = (ly + lx - 1) // u + 1
+    c2s = (2 * ly) // u
+    c2e = (2 * ly + lx - 1) // u + 1
+    c3s = (3 * ly) // u
+    # lx % 8: the x2 tile is a static sublane slice at row lx (int32
+    # sublane groups are 8 rows); pipeline lx quantum is 16
+    return c1e <= c2s and c2e <= c3s and lx % 8 == 0
+
+
+def _sw_kernel_v6(x_ref, ybuf_ref, out_ref,
+                  hm1_ref, hsm1_ref, hsm2_ref, e_ref, ms_ref,
+                  b0_ref, b1_ref, b2_ref, b3_ref, *, lx: int, ly: int,
+                  unroll: int = UNROLL_DEFAULT):
+    """x [2*lx, 128] (rows [0,lx) = read 1, [lx,2lx) = read 2); ybuf
+    [YB, 128] with ybuf[pad_top + lx + t] = Y[(4*ly-1) - t] (pad byte 1
+    elsewhere); out [4, 128]. Recurrence identical to _sw_kernel_v4."""
+    GOE = np.int32(GAP_OPEN + GAP_EXTEND)
+    GE = np.int32(GAP_EXTEND)
+    OMEGA = np.int32(GAP_OPEN)
+
+    x1 = x_ref[0:lx, :]
+    x2 = x_ref[lx : 2 * lx, :]
+    zeros = x1 * np.int32(0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (lx, LANES), 0)
+    row0 = iota == 0
+
+    hm1_ref[:, :] = zeros
+    hsm1_ref[:, :] = zeros
+    hsm2_ref[:, :] = zeros
+    e_ref[:, :] = zeros + NEG
+    ms_ref[:, :] = zeros + NEG
+    b0_ref[:, :] = zeros
+    b1_ref[:, :] = zeros
+    b2_ref[:, :] = zeros
+    b3_ref[:, :] = zeros
+
+    pad_top = unroll - 1
+    L = 4 * ly
+    c1 = lx + L - 1 + pad_top
+    n_grp = (lx + L + unroll - 1) // unroll
+    u = unroll
+    # phase edges in group units (disjoint by quad_feasible)
+    c1s, c1e = ly // u, (ly + lx - 1) // u + 1
+    c2s, c2e = (2 * ly) // u, (2 * ly + lx - 1) // u + 1
+    c3s, c3e = (3 * ly) // u, (3 * ly + lx - 1) // u + 1
+
+    def one_diag(d_off_base, k, x, h_m1, hs_m2, e, ms, rb=None):
+        """rb: boundary row scalar (cross phases only) — same crossing
+        kill as _sw_kernel_v5: fresh-start clamp for the diagonal
+        predecessor, horizontal gap chain killed outright."""
+        ys = ybuf_ref[pl.ds(d_off_base - k, lx), :]
+        s = jnp.where(x == ys, np.int32(MATCH), np.int32(MISMATCH))
+        e_n = jnp.maximum(h_m1 + GOE, e + GE)
+        if rb is not None:
+            cross = iota == rb
+            hs_m2 = jnp.where(cross, np.int32(0), hs_m2)
+            e_n = jnp.where(cross, NEG, e_n)
+        f_n = ms + GE
+        h_n = jnp.maximum(jnp.maximum(hs_m2 + s, e_n),
+                          jnp.maximum(f_n, 0))
+        m_n = jnp.maximum(h_n + OMEGA, f_n)
+        hs_n = jnp.where(row0, np.int32(0), pltpu.roll(h_n, 1, axis=0))
+        ms_n = jnp.where(row0, NEG, pltpu.roll(m_n, 1, axis=0))
+        return h_n, hs_n, e_n, ms_n
+
+    def vanilla_body(x, best_ref):
+        def body(p, _):
+            base = c1 - u * p
+            h_m1 = hm1_ref[:, :]
+            hs_m1 = hsm1_ref[:, :]
+            hs_m2 = hsm2_ref[:, :]
+            e = e_ref[:, :]
+            ms = ms_ref[:, :]
+            hs = []
+            for k in range(u):
+                h, hsh, e, ms = one_diag(base, k, x, h_m1, hs_m2, e, ms)
+                h_m1 = h
+                hs_m2, hs_m1 = hs_m1, hsh
+                hs.append(h)
+            hm1_ref[:, :] = h_m1
+            hsm1_ref[:, :] = hs_m1
+            hsm2_ref[:, :] = hs_m2
+            e_ref[:, :] = e
+            ms_ref[:, :] = ms
+            b = hs[0]
+            for h in hs[1:]:
+                b = jnp.maximum(b, h)
+            best_ref[:, :] = jnp.maximum(best_ref[:, :], b)
+            return 0
+
+        return body
+
+    def cross_body(j0, xa, xb, blo_ref, bhi_ref, switch):
+        """Boundary column j0: rows i <= rb are in the higher segment.
+        switch: substitution operand is row-selected xb/xa (the read
+        changes at j0 == 2*ly); otherwise xa is used throughout."""
+        def body(p, _):
+            base = c1 - u * p
+            d0 = u * p
+            h_m1 = hm1_ref[:, :]
+            hs_m1 = hsm1_ref[:, :]
+            hs_m2 = hsm2_ref[:, :]
+            e = e_ref[:, :]
+            ms = ms_ref[:, :]
+            hs_lo, hs_hi = [], []
+            for k in range(u):
+                rb = d0 + k - j0
+                x = jnp.where(iota <= rb, xb, xa) if switch else xa
+                h, hsh, e, ms = one_diag(base, k, x, h_m1, hs_m2, e, ms,
+                                         rb=rb)
+                h_m1 = h
+                hs_m2, hs_m1 = hs_m1, hsh
+                pmask = iota <= rb
+                hs_lo.append(jnp.where(pmask, np.int32(0), h))
+                hs_hi.append(jnp.where(pmask, h, np.int32(0)))
+            hm1_ref[:, :] = h_m1
+            hsm1_ref[:, :] = hs_m1
+            hsm2_ref[:, :] = hs_m2
+            e_ref[:, :] = e
+            ms_ref[:, :] = ms
+            for hs, ref in ((hs_lo, blo_ref), (hs_hi, bhi_ref)):
+                b = hs[0]
+                for h in hs[1:]:
+                    b = jnp.maximum(b, h)
+                ref[:, :] = jnp.maximum(ref[:, :], b)
+            return 0
+
+        return body
+
+    jax.lax.fori_loop(0, c1s, vanilla_body(x1, b0_ref), 0)
+    jax.lax.fori_loop(c1s, c1e, cross_body(ly, x1, x1, b0_ref, b1_ref,
+                                           False), 0)
+    jax.lax.fori_loop(c1e, c2s, vanilla_body(x1, b1_ref), 0)
+    jax.lax.fori_loop(c2s, c2e, cross_body(2 * ly, x1, x2, b1_ref, b2_ref,
+                                           True), 0)
+    jax.lax.fori_loop(c2e, c3s, vanilla_body(x2, b2_ref), 0)
+    jax.lax.fori_loop(c3s, c3e, cross_body(3 * ly, x2, x2, b2_ref, b3_ref,
+                                           False), 0)
+    jax.lax.fori_loop(c3e, n_grp, vanilla_body(x2, b3_ref), 0)
+    out_ref[:, :] = jnp.concatenate(
+        [jnp.max(b0_ref[:, :], axis=0, keepdims=True),
+         jnp.max(b1_ref[:, :], axis=0, keepdims=True),
+         jnp.max(b2_ref[:, :], axis=0, keepdims=True),
+         jnp.max(b3_ref[:, :], axis=0, keepdims=True)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
+def _sw_pallas_v6(x_t: jax.Array, ybuf_t: jax.Array, *, lx: int, ly: int,
+                  interpret: bool, unroll: int = UNROLL_DEFAULT) -> jax.Array:
+    B = x_t.shape[1]
+    yb = ybuf_t.shape[0]
+    grid = (B // LANES,)
+    kernel = functools.partial(_sw_kernel_v6, lx=lx, ly=ly, unroll=unroll)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2 * lx, LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((yb, LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, LANES), lambda b: (0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, B), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((lx, LANES), jnp.int32) for _ in range(9)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * lx * (lx + 4 * ly) * LANES,
+            bytes_accessed=(2 * lx + yb) * B * 4, transcendentals=0),
+        interpret=interpret,
+    )(x_t, ybuf_t)
+
+
+@functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
+def _sw_pair_quad(x_u8: jax.Array, hap_mat: jax.Array, idx2: jax.Array,
+                  *, lx: int, ly: int, interpret: bool,
+                  unroll: int = UNROLL_DEFAULT) -> jax.Array:
+    """Quad-chain entry: x [R, lx] uint8 with R EVEN (adjacent reads
+    share a lane), idx2 [2R] interleaved (ref, alt) haplotype rows.
+    Returns [2, R] int32 scores (same layout as _sw_pair_chained)."""
+    R = x_u8.shape[0]
+    R2 = R // 2
+    pad_top = unroll - 1
+    # rows [0,lx) = even reads, [lx,2lx) = odd reads, lane l = reads
+    # (2l, 2l+1): a [R2, 2*lx] view of x transposed
+    x_t = x_u8.astype(jnp.int32).reshape(R2, 2 * lx).T
+    ych = hap_mat[idx2].reshape(R2, 4 * ly)  # r1ref++r1alt++r2ref++r2alt
+    yrev = jnp.flip(ych, axis=1).astype(jnp.int32).T  # [4ly, R2]
+    ybuf = jnp.full((pad_top + 2 * lx + 4 * ly, R2), 1, jnp.int32)
+    ybuf = ybuf.at[pad_top + lx : pad_top + lx + 4 * ly].set(yrev)
+    out = _sw_pallas_v6(x_t, ybuf, lx=lx, ly=ly, interpret=interpret,
+                        unroll=unroll)  # [4, R2]
+    return out.T.reshape(R, 2).T  # [2, R]: (ref, alt) per read
+
+
+@functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
+def _sw_pair_quad_calls(x_u8: jax.Array, hap_mat: jax.Array,
+                        idx2: jax.Array, *, lx: int, ly: int,
+                        interpret: bool,
+                        unroll: int = UNROLL_DEFAULT) -> jax.Array:
+    """Quad-chain kernel + fused on-device call reduction -> int8 [R]."""
+    s = _sw_pair_quad(x_u8, hap_mat, idx2, lx=lx, ly=ly,
+                      interpret=interpret, unroll=unroll)
+    ref, alt = s[0], s[1]
+    dropped = (ref < MIN_SCORE) & (alt < MIN_SCORE)
+    code = jnp.where(ref > alt, 1, jnp.where(alt > ref, 2, 3))
+    return jnp.where(dropped, 0, code).astype(jnp.int8)
+
+
+def _pair2_chunks(x, hap_mat, idx_ref, idx_alt, entry, unroll):
+    """Chunking for the quad entries: batches quantized so lanes (= half
+    the padded read count) fill whole LANES groups."""
+    provider = callable(x)
+    R, lx = x.shape
+    ly = hap_mat.shape[1]
+    interpret = not _on_tpu()
+    hap_dev = jnp.asarray(hap_mat)
+    results, spans = [], []
+    half = CHUNK // 2
+    start = 0
+    while start < R:
+        n = min(half, R - start)
+        bp = max(-(-n // (2 * LANES)) * 2 * LANES, 2 * LANES)
+        xc = np.zeros((bp, lx), dtype=np.uint8)
+        xc[:n] = x(start, n) if provider else x[start : start + n]
+        idx2 = np.zeros(2 * bp, dtype=np.int32)
+        idx2[0 : 2 * n : 2] = idx_ref[start : start + n]
+        idx2[1 : 2 * n : 2] = idx_alt[start : start + n]
+        results.append(entry(jnp.asarray(xc), hap_dev, jnp.asarray(idx2),
+                             lx=lx, ly=ly, interpret=interpret,
+                             unroll=unroll))
+        spans.append((start, n))
+        start += n
+    return results, spans
+
+
+def sw_calls_pair_quad_tpu(x, hap_mat: np.ndarray,
+                           idx_ref: np.ndarray, idx_alt: np.ndarray,
+                           unroll: int = UNROLL_DEFAULT) -> np.ndarray:
+    """Quad-chain flavor of sw_calls_pair_chained_tpu (VARTRIX_QUAD=1);
+    falls back to the v5 chained path when the phase windows overlap."""
+    if not quad_feasible(x.shape[1], hap_mat.shape[1], unroll):
+        return sw_calls_pair_chained_tpu(x, hap_mat, idx_ref, idx_alt,
+                                         unroll=unroll)
+    out = np.empty(x.shape[0], dtype=np.int8)
+    results, spans = _pair2_chunks(x, hap_mat, idx_ref, idx_alt,
+                                   _sw_pair_quad_calls, unroll)
+    for r, (s, n) in zip(results, spans):
+        out[s : s + n] = np.asarray(r)[:n]
+    return out
+
+
+def sw_scores_pair_quad_tpu(x, hap_mat: np.ndarray,
+                            idx_ref: np.ndarray, idx_alt: np.ndarray,
+                            unroll: int = UNROLL_DEFAULT) -> np.ndarray:
+    """Quad-chain flavor of sw_scores_pair_chained_tpu -> int32 [R, 2]."""
+    if not quad_feasible(x.shape[1], hap_mat.shape[1], unroll):
+        return sw_scores_pair_chained_tpu(x, hap_mat, idx_ref, idx_alt,
+                                          unroll=unroll)
+    out = np.empty((x.shape[0], 2), dtype=np.int32)
+    results, spans = _pair2_chunks(x, hap_mat, idx_ref, idx_alt,
+                                   _sw_pair_quad, unroll)
+    for r, (s, n) in zip(results, spans):
+        block = np.asarray(r)
+        out[s : s + n, 0] = block[0, :n]
+        out[s : s + n, 1] = block[1, :n]
+    return out
+
+
+sw_scores_batch_tpu_v2.pair_quad = sw_scores_pair_quad_tpu
+sw_scores_batch_tpu_v2.pair_calls_quad = sw_calls_pair_quad_tpu
+
+
+# ---------------------------------------------------------------------------
 # Banded kernel: the chained-band DP on device (VERDICT r2 #4).
 #
 # The band arrives as per-read-row [jlo, jhi) column intervals computed on
