@@ -5,9 +5,10 @@ Prints ONE JSON line to stdout:
 
 Primary metric: read-vs-haplotype Smith-Waterman alignments/sec on one TPU
 chip (the engine's hot computation, BASELINE.md north star), measured with
-the PRODUCTION Pallas kernel — the chained-pair wavefront (v5): one lane
-scores one read against ref++alt haplotypes on realistic shapes (150bp
-reads vs 201bp haplotypes, padded to the kernel's 152x208 quantization).
+the PRODUCTION Pallas kernel — the quad-chain wavefront (v6): one lane
+scores TWO reads, each against its ref++alt haplotypes, on realistic
+shapes (150bp reads vs 201bp haplotypes, padded to the kernel's 152x208
+quantization); falls back to v5 chained-pair when quad is infeasible.
 
 vs_baseline: speedup over the multi-threaded CPU banded aligner
 (native/swlib.cpp — same k-mer-banded algorithm family and scoring
@@ -49,16 +50,24 @@ def bench_tpu_kernel(lx=152, ly=208, R=32768, n_iter=8):
                       os.path.expanduser("~/.cache/jax_pallas"))
 
     from vartrix_tpu.ops.sw_pallas import _on_tpu
-    from vartrix_tpu.ops.sw_pallas_v2 import UNROLL_DEFAULT, _sw_pallas_v5
+    from vartrix_tpu.ops.sw_pallas_v2 import (UNROLL_DEFAULT, _sw_pallas_v5,
+                                              _sw_pallas_v6, quad_feasible)
 
     interpret = not _on_tpu()
     if interpret:
         R, n_iter = 128, 2  # CPU interpreter mode: keep it tiny
     pad_top = UNROLL_DEFAULT - 1
+    quad = quad_feasible(lx, ly)
 
     @jax.jit
     def step(seed):
         kx, ky = jax.random.split(jax.random.key(seed))
+        if quad:  # production kernel: v6 quad-chain (2 reads/lane)
+            x = jax.random.randint(kx, (2 * lx, R // 2), 65, 69, jnp.int32)
+            ybuf = jax.random.randint(ky, (pad_top + 2 * lx + 4 * ly, R // 2),
+                                      65, 69, jnp.int32)
+            return jnp.sum(_sw_pallas_v6(x, ybuf, lx=lx, ly=ly,
+                                         interpret=interpret))
         x = jax.random.randint(kx, (lx, R), 65, 69, jnp.int32)
         ybuf = jax.random.randint(ky, (pad_top + 2 * lx + 2 * ly, R),
                                   65, 69, jnp.int32)

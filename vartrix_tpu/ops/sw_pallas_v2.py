@@ -1332,7 +1332,20 @@ def _pair_calls_chained_dispatch(x, hap_mat, idx_ref, idx_alt,
     if _os.environ.get("VARTRIX_PACK4", "0") == "1":
         return sw_calls_pair_chained_packed_tpu(x, hap_mat, idx_ref,
                                                 idx_alt, unroll)
+    # quad-chain (k=4 corner packing) measured +6% over v5 on-chip
+    # (docs/KERNEL.md); falls back to v5 itself when infeasible
+    if _os.environ.get("VARTRIX_QUAD", "1") != "0":
+        return sw_calls_pair_quad_tpu(x, hap_mat, idx_ref, idx_alt, unroll)
     return sw_calls_pair_chained_tpu(x, hap_mat, idx_ref, idx_alt, unroll)
 
 
+def _pair_scores_chained_dispatch(x, hap_mat, idx_ref, idx_alt,
+                                  unroll: int = UNROLL_DEFAULT):
+    import os as _os
+    if _os.environ.get("VARTRIX_QUAD", "1") != "0":
+        return sw_scores_pair_quad_tpu(x, hap_mat, idx_ref, idx_alt, unroll)
+    return sw_scores_pair_chained_tpu(x, hap_mat, idx_ref, idx_alt, unroll)
+
+
 sw_scores_batch_tpu_v2.pair_calls_chained = _pair_calls_chained_dispatch
+sw_scores_batch_tpu_v2.pair_chained = _pair_scores_chained_dispatch
