@@ -482,6 +482,19 @@ def make_mesh_scorer(n_devices: int = 0, unroll: int = UNROLL_DEFAULT):
                        out_specs=P("shard"), check_rep=False)
         return fn(x_u8, hap_mat, idx2)
 
+    @functools.partial(jax.jit, static_argnames=("lx", "ly"))
+    def _sharded_pair_calls_quad(x_u8, hap_mat, idx2, *, lx, ly):
+        def local(x_c, haps, idx2_c):
+            return _sw_pair_quad_calls(x_c, haps, idx2_c, lx=lx, ly=ly,
+                                       interpret=interpret, unroll=unroll)
+
+        # quad batches are quantized to per-device multiples of 2*LANES,
+        # so each device's read chunk pairs up into whole lanes
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(P("shard"), P(), P("shard")),
+                       out_specs=P("shard"), check_rep=False)
+        return fn(x_u8, hap_mat, idx2)
+
     def scorer(x: np.ndarray, y: np.ndarray) -> np.ndarray:
         # plain entry: chunk so the replicated per-chunk hap matrix stays
         # bounded (<= CHUNK x ly per device) and compiled shapes are
@@ -525,9 +538,13 @@ def make_mesh_scorer(n_devices: int = 0, unroll: int = UNROLL_DEFAULT):
     def pair_calls(x, hap_mat: np.ndarray, idx_ref: np.ndarray,
                    idx_alt: np.ndarray) -> np.ndarray:
         """Fused chained-pair protocol over the mesh -> int8 codes [R]."""
+        import os as _os
         provider = callable(x)
         R, lx = x.shape
         ly = hap_mat.shape[1]
+        quad = (_os.environ.get("VARTRIX_QUAD", "1") != "0"
+                and quad_feasible(lx, ly, unroll))
+        entry = _sharded_pair_calls_quad if quad else _sharded_pair_calls
         hap_dev = jnp.asarray(hap_mat)
         out = np.empty(R, dtype=np.int8)
         results, spans = [], []
@@ -535,16 +552,15 @@ def make_mesh_scorer(n_devices: int = 0, unroll: int = UNROLL_DEFAULT):
         start = 0
         while start < R:
             cn = min(half, R - start)
-            q = n * LANES
+            q = n * (2 * LANES if quad else LANES)
             bp = ((max(_quantized_batch(cn), q) + q - 1) // q) * q
             xc = np.zeros((bp, lx), dtype=np.uint8)
             xc[:cn] = x(start, cn) if provider else x[start : start + cn]
             idx2 = np.zeros(2 * bp, dtype=np.int32)
             idx2[0 : 2 * cn : 2] = idx_ref[start : start + cn]
             idx2[1 : 2 * cn : 2] = idx_alt[start : start + cn]
-            results.append(_sharded_pair_calls(jnp.asarray(xc), hap_dev,
-                                               jnp.asarray(idx2),
-                                               lx=lx, ly=ly))
+            results.append(entry(jnp.asarray(xc), hap_dev,
+                                 jnp.asarray(idx2), lx=lx, ly=ly))
             spans.append((start, cn))
             start += cn
         for r, (s, cn) in zip(results, spans):
