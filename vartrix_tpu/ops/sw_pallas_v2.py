@@ -35,6 +35,7 @@ enforced by random, adversarial-indel, and mixed-gap tests.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -174,6 +175,16 @@ def make_ybuf(y: np.ndarray, lx: int, unroll: int = UNROLL_DEFAULT) -> np.ndarra
 CHUNK = 32768  # fixed batch chunk so compiled shapes are workload-independent
 
 
+def _chunk() -> int:
+    """Dispatch chunk size (pairs per device call). VARTRIX_CHUNK
+    overrides the default: through the axon relay each dispatch pays a
+    fixed round-trip, so fewer/larger chunks can dominate the score
+    phase (see docs/KERNEL.md chunk A/B); compiled shapes stay
+    workload-independent per chunk size."""
+    env = os.environ.get("VARTRIX_CHUNK")
+    return int(env) if env else CHUNK
+
+
 @functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
 def _sw_compact(x_u8: jax.Array, hap_mat: jax.Array, hap_idx: jax.Array,
                 *, lx: int, ly: int, interpret: bool,
@@ -231,7 +242,7 @@ def sw_scores_compact2_tpu(x_mat: np.ndarray, x_idx: np.ndarray,
     results, spans = [], []
     start = 0
     while start < B:
-        n = min(CHUNK, B - start)
+        n = min(_chunk(), B - start)
         bp = _quantized_batch(n)
         xi = np.zeros(bp, dtype=np.int32)
         xi[:n] = x_idx[start : start + n]
@@ -299,7 +310,7 @@ def sw_calls_pair_tpu(x, hap_mat: np.ndarray,
     hap_dev = jnp.asarray(hap_mat)
     out = np.empty(R, dtype=np.int8)
     results, spans = [], []
-    half = CHUNK // 2
+    half = _chunk() // 2
     start = 0
     while start < R:
         n = min(half, R - start)
@@ -339,7 +350,7 @@ def sw_scores_pair_tpu(x, hap_mat: np.ndarray,
     hap_dev = jnp.asarray(hap_mat)
     out = np.empty((R, 2), dtype=np.int32)
     results, spans = [], []
-    half = CHUNK // 2
+    half = _chunk() // 2
     start = 0
     while start < R:
         n = min(half, R - start)
@@ -375,7 +386,7 @@ def sw_scores_compact_tpu(x, hap_mat: np.ndarray,
     results, spans = [], []
     start = 0
     while start < B:
-        n = min(CHUNK, B - start)
+        n = min(_chunk(), B - start)
         bp = _quantized_batch(n)
         xc = np.zeros((bp, lx), dtype=np.uint8)
         xc[:n] = x(start, n) if provider else x[start : start + n]
@@ -396,7 +407,7 @@ def _quantized_batch(n: int) -> int:
     b = LANES
     while b < n:
         b <<= 1
-    return min(b, CHUNK)
+    return min(b, _chunk())
 
 
 def sw_scores_batch_tpu_v2(x: np.ndarray, y: np.ndarray,
@@ -413,7 +424,7 @@ def sw_scores_batch_tpu_v2(x: np.ndarray, y: np.ndarray,
     results = []
     spans = []
     while start < B:
-        n = min(CHUNK, B - start)
+        n = min(_chunk(), B - start)
         bp = _quantized_batch(n)
         x_t = np.zeros((lx, bp), dtype=np.int32)
         x_t[:, :n] = x[start : start + n].T
@@ -501,8 +512,8 @@ def make_mesh_scorer(n_devices: int = 0, unroll: int = UNROLL_DEFAULT):
         # workload-independent, like the non-mesh path
         B = x.shape[0]
         out = np.empty(B, dtype=np.int32)
-        for s in range(0, max(B, 1), CHUNK):
-            cn = min(CHUNK, B - s)
+        for s in range(0, max(B, 1), _chunk()):
+            cn = min(_chunk(), B - s)
             if cn <= 0:
                 break
             idx = np.arange(cn, dtype=np.int32)
@@ -519,7 +530,7 @@ def make_mesh_scorer(n_devices: int = 0, unroll: int = UNROLL_DEFAULT):
         results, spans = [], []
         start = 0
         while start < B:
-            cn = min(CHUNK, B - start)
+            cn = min(_chunk(), B - start)
             # batch must split evenly into per-device multiples of LANES
             q = n * LANES
             bp = ((max(_quantized_batch(cn), q) + q - 1) // q) * q
@@ -548,7 +559,7 @@ def make_mesh_scorer(n_devices: int = 0, unroll: int = UNROLL_DEFAULT):
         hap_dev = jnp.asarray(hap_mat)
         out = np.empty(R, dtype=np.int8)
         results, spans = [], []
-        half = CHUNK // 2
+        half = _chunk() // 2
         start = 0
         while start < R:
             cn = min(half, R - start)
@@ -762,7 +773,7 @@ def _pair_chunks(x, hap_mat, idx_ref, idx_alt, entry, out, unroll):
     interpret = not _on_tpu()
     hap_dev = jnp.asarray(hap_mat)
     results, spans = [], []
-    half = CHUNK // 2
+    half = _chunk() // 2
     start = 0
     while start < R:
         n = min(half, R - start)
@@ -1049,11 +1060,13 @@ def _pair2_chunks(x, hap_mat, idx_ref, idx_alt, entry, unroll):
     interpret = not _on_tpu()
     hap_dev = jnp.asarray(hap_mat)
     results, spans = [], []
-    half = CHUNK // 2
+    half = _chunk() // 2
     start = 0
     while start < R:
         n = min(half, R - start)
-        bp = max(-(-n // (2 * LANES)) * 2 * LANES, 2 * LANES)
+        # power-of-two quantized (>= 2*LANES, so lanes pair up): tail
+        # chunks reuse log2-many compiled shapes across datasets
+        bp = max(_quantized_batch(2 * n) // 2, 2 * LANES)
         xc = np.zeros((bp, lx), dtype=np.uint8)
         xc[:n] = x(start, n) if provider else x[start : start + n]
         idx2 = np.zeros(2 * bp, dtype=np.int32)
@@ -1245,7 +1258,7 @@ def make_banded_tpu_scorer(n_threads: int = 1, k: int = 6, w: int = 20):
         results, spans = [], []
         start = 0
         while start < B:
-            n = min(CHUNK, B - start)
+            n = min(_chunk(), B - start)
             bp = _quantized_batch(n)
             bounds = banded_bounds_batch_native(
                 xs[start : start + n], ys[start : start + n], lx,
@@ -1322,7 +1335,7 @@ def sw_calls_pair_chained_packed_tpu(x, hap_mat: np.ndarray,
     hap_dev = jnp.asarray(hap_mat)
     out = np.empty(R, dtype=np.int8)
     results, spans = [], []
-    half = CHUNK // 2
+    half = _chunk() // 2
     start = 0
     while start < R:
         n = min(half, R - start)
