@@ -172,7 +172,12 @@ def make_ybuf(y: np.ndarray, lx: int, unroll: int = UNROLL_DEFAULT) -> np.ndarra
     return ybuf
 
 
-CHUNK = 32768  # fixed batch chunk so compiled shapes are workload-independent
+# Fixed batch chunk so compiled shapes are workload-independent. 128k
+# pairs measured fastest through the axon relay (tools/ab_chunk.py:
+# score phase 0.89/1.39s per 500k reads vs 1.51/1.53s at 32k — fewer
+# dispatches amortize the per-call relay round-trip; 512k regressed to
+# 4.16/1.81s). VARTRIX_CHUNK overrides.
+CHUNK = 131072
 
 
 def _chunk() -> int:
