@@ -409,3 +409,36 @@ def test_quad_calls_match_chained_calls():
     got = sw_calls_pair_quad_tpu(x, haps, idx_ref, idx_alt)
     exp = sw_calls_pair_chained_tpu(x, haps, idx_ref, idx_alt)
     np.testing.assert_array_equal(got, exp)
+
+
+def test_chainN_kernel_matches_oracle():
+    # v7 generalized chain (nr=4: eight segments per lane) must equal
+    # independent SW per problem, incl. embedded high scorers
+    from vartrix_tpu.ops.sw_pallas import _on_tpu
+    from vartrix_tpu.ops.sw_pallas_v2 import (_sw_pair_chainN,
+                                              chainN_feasible)
+
+    lx, ly, nr = 16, 48, 4
+    assert chainN_feasible(lx, ly, nr)
+    rng = np.random.default_rng(41)
+    R = 512  # 128 lanes at nr=4
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    x = np.zeros((R, lx), np.uint8)
+    haps = np.ones((2 * R, ly), np.uint8)
+    exp = np.zeros((2, R), np.int32)
+    for i in range(R):
+        xl = int(rng.integers(1, lx + 1))
+        x[i, :xl] = rng.choice(bases, xl)
+        for w in range(2):
+            yl = int(rng.integers(1, ly + 1))
+            hap = rng.choice(bases, yl)
+            if rng.random() < 0.5 and yl > xl:
+                s = int(rng.integers(0, yl - xl + 1))
+                hap[s : s + xl] = x[i, :xl]
+            haps[2 * i + w, :yl] = hap
+            exp[w, i] = sw_score_single(
+                bytes(x[i, :xl]), bytes(hap.tobytes()))
+    got = np.asarray(_sw_pair_chainN(
+        x, haps, np.arange(2 * R, dtype=np.int32),
+        lx=lx, ly=ly, nr=nr, interpret=not _on_tpu()))
+    np.testing.assert_array_equal(got, exp)

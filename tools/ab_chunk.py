@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from vartrix_tpu.driver import _main
 from vartrix_tpu.utils.synth import SynthConfig, generate_dataset
 
-ARMS = ["32768", "131072", "524288"]
+ARMS = sys.argv[1:] or ["32768", "131072", "524288"]
 
 
 def main():

@@ -1123,6 +1123,207 @@ sw_scores_batch_tpu_v2.pair_calls_quad = sw_calls_pair_quad_tpu
 
 
 # ---------------------------------------------------------------------------
+# v7: generalized NR-read chain (measurement harness for k beyond 4).
+#
+# NR reads per lane, 2*NR segments along y. NR=2 reproduces v6's
+# schedule; NR=4 chains 8 segments (issued diagonals per 4 pairs:
+# lx+8ly-1 vs 2*(lx+4ly-1) for two v6 lanes, -7.7% at 152x208 — the
+# remaining bound). Kept out of the production dispatch until it
+# measures a win (tools/bench_kernel_v7.py).
+# ---------------------------------------------------------------------------
+
+
+def chainN_feasible(lx: int, ly: int, nr: int,
+                    unroll: int = UNROLL_DEFAULT) -> bool:
+    """Every pair of consecutive boundary windows [m*ly, m*ly+lx-1],
+    m = 1..2*nr-1, must occupy disjoint unroll-group ranges."""
+    u = unroll
+    if lx % 8 != 0:
+        return False
+    for m in range(1, 2 * nr - 1):
+        if (m * ly + lx - 1) // u + 1 > ((m + 1) * ly) // u:
+            return False
+    return True
+
+
+def _sw_kernel_v7(x_ref, ybuf_ref, out_ref, *refs, lx: int, ly: int,
+                  nr: int, unroll: int = UNROLL_DEFAULT):
+    """x [nr*lx, 128] (read r at rows [r*lx, (r+1)*lx)); ybuf [YB, 128]
+    with ybuf[pad_top + lx + t] = Y[(2*nr*ly-1) - t]; out [2*nr, 128].
+    refs: 5 state scratch + 2*nr best scratch tiles."""
+    GOE = np.int32(GAP_OPEN + GAP_EXTEND)
+    GE = np.int32(GAP_EXTEND)
+    OMEGA = np.int32(GAP_OPEN)
+
+    hm1_ref, hsm1_ref, hsm2_ref, e_ref, ms_ref = refs[:5]
+    best_refs = refs[5 : 5 + 2 * nr]
+    xt = [x_ref[r * lx : (r + 1) * lx, :] for r in range(nr)]
+    zeros = xt[0] * np.int32(0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (lx, LANES), 0)
+    row0 = iota == 0
+
+    hm1_ref[:, :] = zeros
+    hsm1_ref[:, :] = zeros
+    hsm2_ref[:, :] = zeros
+    e_ref[:, :] = zeros + NEG
+    ms_ref[:, :] = zeros + NEG
+    for b in best_refs:
+        b[:, :] = zeros
+
+    pad_top = unroll - 1
+    L = 2 * nr * ly
+    c1 = lx + L - 1 + pad_top
+    n_grp = (lx + L + unroll - 1) // unroll
+    u = unroll
+
+    def one_diag(d_off_base, k, x, h_m1, hs_m2, e, ms, rb=None):
+        ys = ybuf_ref[pl.ds(d_off_base - k, lx), :]
+        s = jnp.where(x == ys, np.int32(MATCH), np.int32(MISMATCH))
+        e_n = jnp.maximum(h_m1 + GOE, e + GE)
+        if rb is not None:
+            cross = iota == rb
+            hs_m2 = jnp.where(cross, np.int32(0), hs_m2)
+            e_n = jnp.where(cross, NEG, e_n)
+        f_n = ms + GE
+        h_n = jnp.maximum(jnp.maximum(hs_m2 + s, e_n),
+                          jnp.maximum(f_n, 0))
+        m_n = jnp.maximum(h_n + OMEGA, f_n)
+        hs_n = jnp.where(row0, np.int32(0), pltpu.roll(h_n, 1, axis=0))
+        ms_n = jnp.where(row0, NEG, pltpu.roll(m_n, 1, axis=0))
+        return h_n, hs_n, e_n, ms_n
+
+    def vanilla_body(x, best_ref):
+        def body(p, _):
+            base = c1 - u * p
+            h_m1 = hm1_ref[:, :]
+            hs_m1 = hsm1_ref[:, :]
+            hs_m2 = hsm2_ref[:, :]
+            e = e_ref[:, :]
+            ms = ms_ref[:, :]
+            hs = []
+            for k in range(u):
+                h, hsh, e, ms = one_diag(base, k, x, h_m1, hs_m2, e, ms)
+                h_m1 = h
+                hs_m2, hs_m1 = hs_m1, hsh
+                hs.append(h)
+            hm1_ref[:, :] = h_m1
+            hsm1_ref[:, :] = hs_m1
+            hsm2_ref[:, :] = hs_m2
+            e_ref[:, :] = e
+            ms_ref[:, :] = ms
+            b = hs[0]
+            for h in hs[1:]:
+                b = jnp.maximum(b, h)
+            best_ref[:, :] = jnp.maximum(best_ref[:, :], b)
+            return 0
+
+        return body
+
+    def cross_body(j0, xa, xb, blo_ref, bhi_ref, switch):
+        def body(p, _):
+            base = c1 - u * p
+            d0 = u * p
+            h_m1 = hm1_ref[:, :]
+            hs_m1 = hsm1_ref[:, :]
+            hs_m2 = hsm2_ref[:, :]
+            e = e_ref[:, :]
+            ms = ms_ref[:, :]
+            hs_lo, hs_hi = [], []
+            for k in range(u):
+                rb = d0 + k - j0
+                x = jnp.where(iota <= rb, xb, xa) if switch else xa
+                h, hsh, e, ms = one_diag(base, k, x, h_m1, hs_m2, e, ms,
+                                         rb=rb)
+                h_m1 = h
+                hs_m2, hs_m1 = hs_m1, hsh
+                pmask = iota <= rb
+                hs_lo.append(jnp.where(pmask, np.int32(0), h))
+                hs_hi.append(jnp.where(pmask, h, np.int32(0)))
+            hm1_ref[:, :] = h_m1
+            hsm1_ref[:, :] = hs_m1
+            hsm2_ref[:, :] = hs_m2
+            e_ref[:, :] = e
+            ms_ref[:, :] = ms
+            for hs, ref in ((hs_lo, blo_ref), (hs_hi, bhi_ref)):
+                b = hs[0]
+                for h in hs[1:]:
+                    b = jnp.maximum(b, h)
+                ref[:, :] = jnp.maximum(ref[:, :], b)
+            return 0
+
+        return body
+
+    # schedule: vanilla segment 0, then (crossing m, vanilla segment m)
+    # for m = 1..2*nr-1; window m spans groups [(m*ly)//u, edge(m))
+    g = 0
+    for m in range(1, 2 * nr):
+        cs, ce = (m * ly) // u, (m * ly + lx - 1) // u + 1
+        xa = xt[(m - 1) // 2]
+        xb = xt[m // 2]
+        jax.lax.fori_loop(g, cs, vanilla_body(xa, best_refs[m - 1]), 0)
+        jax.lax.fori_loop(cs, ce, cross_body(m * ly, xa, xb,
+                                             best_refs[m - 1], best_refs[m],
+                                             xa is not xb), 0)
+        g = ce
+    jax.lax.fori_loop(g, n_grp, vanilla_body(xt[nr - 1],
+                                             best_refs[2 * nr - 1]), 0)
+    out_ref[:, :] = jnp.concatenate(
+        [jnp.max(b[:, :], axis=0, keepdims=True) for b in best_refs],
+        axis=0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("lx", "ly", "nr", "interpret", "unroll"))
+def _sw_pallas_v7(x_t: jax.Array, ybuf_t: jax.Array, *, lx: int, ly: int,
+                  nr: int, interpret: bool,
+                  unroll: int = UNROLL_DEFAULT) -> jax.Array:
+    B = x_t.shape[1]
+    yb = ybuf_t.shape[0]
+    grid = (B // LANES,)
+    kernel = functools.partial(_sw_kernel_v7, lx=lx, ly=ly, nr=nr,
+                               unroll=unroll)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nr * lx, LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((yb, LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2 * nr, LANES), lambda b: (0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 * nr, B), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((lx, LANES), jnp.int32)
+                        for _ in range(5 + 2 * nr)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * lx * (lx + 2 * nr * ly) * LANES,
+            bytes_accessed=(nr * lx + yb) * B * 4, transcendentals=0),
+        interpret=interpret,
+    )(x_t, ybuf_t)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("lx", "ly", "nr", "interpret", "unroll"))
+def _sw_pair_chainN(x_u8: jax.Array, hap_mat: jax.Array, idx2: jax.Array,
+                    *, lx: int, ly: int, nr: int, interpret: bool,
+                    unroll: int = UNROLL_DEFAULT) -> jax.Array:
+    """Generalized chain entry: x [R, lx] uint8 with R % nr == 0, idx2
+    [2R] interleaved (ref, alt) rows. Returns [2, R] int32 scores."""
+    R = x_u8.shape[0]
+    RL = R // nr
+    pad_top = unroll - 1
+    x_t = x_u8.astype(jnp.int32).reshape(RL, nr * lx).T
+    ych = hap_mat[idx2].reshape(RL, 2 * nr * ly)
+    yrev = jnp.flip(ych, axis=1).astype(jnp.int32).T
+    ybuf = jnp.full((pad_top + 2 * lx + 2 * nr * ly, RL), 1, jnp.int32)
+    ybuf = ybuf.at[pad_top + lx : pad_top + lx + 2 * nr * ly].set(yrev)
+    out = _sw_pallas_v7(x_t, ybuf, lx=lx, ly=ly, nr=nr,
+                        interpret=interpret, unroll=unroll)  # [2nr, RL]
+    return out.T.reshape(R, 2).T
+
+
+# ---------------------------------------------------------------------------
 # Banded kernel: the chained-band DP on device (VERDICT r2 #4).
 #
 # The band arrives as per-read-row [jlo, jhi) column intervals computed on
