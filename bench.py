@@ -222,10 +222,13 @@ def main():
             log(f"e2e bench failed: {e}")
         result["done"] = True
 
+    # CPU baseline FIRST: if the watchdog expires while the device
+    # worker is merely slow (not hung), timing the baseline would run
+    # it concurrently with the e2e arms and deflate it
+    baseline = bench_cpu_baseline()
     worker = threading.Thread(target=_device_benches, daemon=True)
     worker.start()
     worker.join(timeout=2100)
-    baseline = bench_cpu_baseline()
     value = result.get("kernel")
     if value is None:
         log("TPU unreachable (kernel bench timed out); emitting null value "

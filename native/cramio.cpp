@@ -43,6 +43,11 @@ struct CramError : std::runtime_error {
 int32_t read_itf8(const uint8_t* buf, size_t len, size_t& off) {
   if (off >= len) throw CramError("itf8 past end");
   uint32_t b0 = buf[off];
+  // continuation-byte bound: 0x80->1 extra, 0xC0->2, 0xE0->3, else 4
+  size_t extra = b0 < 0x80 ? 0 : b0 < 0xC0 ? 1 : b0 < 0xE0 ? 2
+                 : b0 < 0xF0 ? 3 : 4;
+  if (off + extra >= len && extra > 0)
+    throw CramError("itf8 truncated");
   if (b0 < 0x80) { off += 1; return (int32_t)b0; }
   if (b0 < 0xC0) {
     uint32_t v = ((b0 & 0x3F) << 8) | buf[off + 1];
@@ -69,6 +74,7 @@ int64_t read_ltf8(const uint8_t* buf, size_t len, size_t& off) {
   uint32_t b0 = buf[off];
   int n = 0;
   while (n < 8 && ((b0 << n) & 0x80)) ++n;
+  if (n > 0 && off + (size_t)n >= len) throw CramError("ltf8 truncated");
   if (n == 0) { off += 1; return (int64_t)b0; }
   if (n == 8) {
     uint64_t v = 0;
@@ -790,6 +796,8 @@ void decode_slice_records(SliceCtx& sc, int32_t slice_ref,
     int32_t cf = sc.rint("CF");
     int32_t ri = (slice_ref == -2) ? sc.rint("RI") : slice_ref;
     int32_t read_len = sc.rint("RL");
+    if (read_len < 0 || read_len > (1 << 28))
+      throw CramError("read length out of range");
     int32_t ap = sc.rint("AP");
     int64_t pos1 = ch.pres_AP ? last_pos + ap : ap;
     last_pos = pos1;
@@ -834,6 +842,13 @@ void decode_slice_records(SliceCtx& sc, int32_t slice_ref,
       }
       int64_t rp = 1;       // 1-based read position
       int64_t ref_p = pos0;  // 0-based reference position
+      // malformed-CRAM guard: every write into seq/qual must stay
+      // inside [0, read_len) (the Python oracle raises on the same
+      // inputs; unchecked memcpys would corrupt the heap instead)
+      auto need = [&](int64_t pos1, int64_t n) {
+        if (pos1 < 1 || n < 0 || pos1 - 1 + n > (int64_t)read_len)
+          throw CramError("feature outside read bounds");
+      };
       auto add_cigar = [&](uint8_t op, int64_t ln) {
         if (ln <= 0) return;
         if (!cigar.empty() && cigar.back().op == op)
@@ -844,6 +859,7 @@ void decode_slice_records(SliceCtx& sc, int32_t slice_ref,
       auto copy_ref = [&](int64_t upto) {
         int64_t n = upto - rp;
         if (n <= 0) return;
+        need(rp, n);
         sc.ref_fetch(ri, ref_p, ref_p + n, seq.data() + (rp - 1));
         add_cigar(0, n);
         rp += n;
@@ -854,6 +870,7 @@ void decode_slice_records(SliceCtx& sc, int32_t slice_ref,
         switch ((char)fc) {
           case 'b': {
             sc.rbytes("BB", -1, tmp);
+            need(rp, (int64_t)tmp.size());
             memcpy(seq.data() + (rp - 1), tmp.data(), tmp.size());
             add_cigar(0, (int64_t)tmp.size());
             rp += (int64_t)tmp.size();
@@ -861,6 +878,7 @@ void decode_slice_records(SliceCtx& sc, int32_t slice_ref,
             break;
           }
           case 'X': {
+            need(rp, 1);
             int code = sc.rbyte("BS");
             uint8_t refb;
             sc.ref_fetch(ri, ref_p, ref_p + 1, &refb);
@@ -871,6 +889,7 @@ void decode_slice_records(SliceCtx& sc, int32_t slice_ref,
             break;
           }
           case 'B':
+            need(rp, 1);
             seq[(size_t)(rp - 1)] = sc.rbyte("BA");
             qual[(size_t)(rp - 1)] = sc.rbyte("QS");
             add_cigar(0, 1);
@@ -878,12 +897,14 @@ void decode_slice_records(SliceCtx& sc, int32_t slice_ref,
             ++ref_p;
             break;
           case 'i':
+            need(rp, 1);
             seq[(size_t)(rp - 1)] = sc.rbyte("BA");
             add_cigar(1, 1);
             ++rp;
             break;
           case 'I': {
             sc.rbytes("IN", -1, tmp);
+            need(rp, (int64_t)tmp.size());
             memcpy(seq.data() + (rp - 1), tmp.data(), tmp.size());
             add_cigar(1, (int64_t)tmp.size());
             rp += (int64_t)tmp.size();
@@ -891,6 +912,7 @@ void decode_slice_records(SliceCtx& sc, int32_t slice_ref,
           }
           case 'S': {
             sc.rbytes("SC", -1, tmp);
+            need(rp, (int64_t)tmp.size());
             memcpy(seq.data() + (rp - 1), tmp.data(), tmp.size());
             add_cigar(4, (int64_t)tmp.size());
             rp += (int64_t)tmp.size();
@@ -916,10 +938,12 @@ void decode_slice_records(SliceCtx& sc, int32_t slice_ref,
             break;
           case 'q': {
             sc.rbytes("QQ", -1, tmp);
+            need(rp, (int64_t)tmp.size());
             memcpy(qual.data() + (rp - 1), tmp.data(), tmp.size());
             break;
           }
           case 'Q':
+            need(rp, 1);
             qual[(size_t)(rp - 1)] = sc.rbyte("QS");
             break;
           default:
@@ -943,6 +967,10 @@ void decode_slice_records(SliceCtx& sc, int32_t slice_ref,
       if (c.op == 0 || c.op == 2 || c.op == 3 || c.op == 7 || c.op == 8)
         ref_consumed += c.len;
     int64_t end = pos0 + std::max<int64_t>(ref_consumed, 1);
+    // BAM long-CIGAR convention (mirrors bam_writer.encode_record):
+    // > 65535 ops get an in-record kSmN placeholder, the true ops in a
+    // CG:B,I aux tag (libgenomio resolves it on decode)
+    bool long_cigar = cigar.size() > 0xFFFF;
     size_t rec_start = out.size();
     put_i32(out, 0);  // block_size placeholder
     put_i32(out, ri);
@@ -950,7 +978,7 @@ void decode_slice_records(SliceCtx& sc, int32_t slice_ref,
     out.push_back((uint8_t)(qn_len + 1));
     out.push_back(mapq);
     put_u16(out, reg2bin(pos0, end));
-    put_u16(out, (uint16_t)cigar.size());
+    put_u16(out, long_cigar ? (uint16_t)2 : (uint16_t)cigar.size());
     put_u16(out, (uint16_t)bf);
     put_i32(out, read_len);
     put_i32(out, -1);
@@ -958,7 +986,12 @@ void decode_slice_records(SliceCtx& sc, int32_t slice_ref,
     put_i32(out, 0);
     out.insert(out.end(), qn, qn + qn_len);
     out.push_back(0);
-    for (auto& c : cigar) put_u32(out, ((uint32_t)c.len << 4) | c.op);
+    if (long_cigar) {
+      put_u32(out, ((uint32_t)read_len << 4) | 4);  // lS
+      put_u32(out, ((uint32_t)std::max<int64_t>(ref_consumed, 0) << 4) | 3);
+    } else {
+      for (auto& c : cigar) put_u32(out, ((uint32_t)c.len << 4) | c.op);
+    }
     // 4-bit packed sequence
     size_t sp = out.size();
     out.resize(sp + ((size_t)read_len + 1) / 2, 0);
@@ -979,6 +1012,14 @@ void decode_slice_records(SliceCtx& sc, int32_t slice_ref,
       out.push_back('Z');
       out.insert(out.end(), t.val.begin(), t.val.end());
       out.push_back(0);
+    }
+    if (long_cigar) {
+      out.push_back('C');
+      out.push_back('G');
+      out.push_back('B');
+      out.push_back('I');
+      put_i32(out, (int32_t)cigar.size());
+      for (auto& c : cigar) put_u32(out, ((uint32_t)c.len << 4) | c.op);
     }
     int32_t bs = (int32_t)(out.size() - rec_start - 4);
     memcpy(out.data() + rec_start, &bs, 4);
@@ -1154,7 +1195,10 @@ CramBam* cram_decode(const char* path, const char* fasta_path,
 
       // container offsets
       std::vector<size_t> conts;
-      if (offsets && n_offsets > 0) {
+      if (offsets) {
+        // non-null plan: decode EXACTLY the listed containers — an
+        // empty plan (region fetch touching no .crai entries) decodes
+        // nothing, it is not "no plan"
         for (int64_t i = 0; i < n_offsets; ++i)
           conts.push_back((size_t)offsets[i]);
       } else {

@@ -162,3 +162,59 @@ def test_embedded_reference_slices(dataset, tmp_path):
     pybam = str(tmp_path / "e_py.bam")
     transcode_to_bam(cram, pybam, None)
     _columns_equal(ColumnarBam(pybam), orig)
+
+
+def test_native_long_cigar_cg(tmp_path):
+    # >65535-op CIGAR through the NATIVE CRAM decoder: the synthesized
+    # BAM record must use the kSmN placeholder + CG:B,I tag (mirroring
+    # bam_writer.encode_record), not a silently-truncated uint16 count
+    from vartrix_tpu.io.bam_writer import encode_record, write_bam
+
+    rng = np.random.default_rng(43)
+    L = 300_000
+    chrom = rng.choice(np.frombuffer(b"ACGT", np.uint8), L)
+    fa = tmp_path / "g.fa"
+    with open(fa, "wb") as f:
+        f.write(b">g\n" + chrom.tobytes() + b"\n")
+    (tmp_path / "g.fa.fai").write_text(f"g\t{L}\t3\t{L}\t{L + 1}\n")
+    n_pairs = 70_000
+    tail_m = 90
+    l_seq = n_pairs + tail_m
+    start = 1000
+    seq = np.empty(l_seq, np.uint8)
+    rp = start
+    for t in range(n_pairs):
+        seq[t] = chrom[rp]
+        rp += 2
+    seq[n_pairs:] = chrom[rp : rp + tail_m]
+    cigar = [(0, 1), (3, 1)] * n_pairs + [(0, tail_m)]
+    rec = encode_record(qname=b"lc", flag=0, tid=0, pos=start, mapq=60,
+                        cigar=cigar, seq=seq.tobytes(),
+                        tags=[(b"CB", b"LC0-1"), (b"UB", b"LCU0")])
+    bam = str(tmp_path / "g.bam")
+    write_bam(bam, [("g", L)], [rec], write_index=True)
+    cram = str(tmp_path / "g.cram")
+    write_cram(cram, [("g", L)], BamReader(bam).records(),
+               fasta_path=str(fa))
+    stream = cram_decode_native(cram, str(fa))
+    cb = ColumnarBam(cram, bam_bytes=stream)
+    exp = ColumnarBam(bam)
+    _columns_equal(cb, exp)
+    # the spliced intervals survive (placeholder + CG resolved)
+    assert int(cb.itv_off[1] - cb.itv_off[0]) == n_pairs + 1
+    assert cb.ref_end[0] == rp + tail_m
+
+
+def test_native_empty_container_plan(dataset, tmp_path):
+    # an EMPTY offsets plan (region fetch touching no .crai entries)
+    # must decode NOTHING — not fall back to the whole file
+    cram = str(tmp_path / "s.cram")
+    b = BamReader(dataset["bam"])
+    write_cram(cram, list(zip(b.ref_names, b.ref_lens)), b.records(),
+               fasta_path=dataset["fasta"])
+    stream = cram_decode_native(cram, dataset["fasta"], offsets=[])
+    cb = ColumnarBam(cram, bam_bytes=stream)
+    assert cb.n == 0
+    full = ColumnarBam(cram,
+                       bam_bytes=cram_decode_native(cram, dataset["fasta"]))
+    assert full.n == sum(1 for _ in BamReader(dataset["bam"]).records())

@@ -442,3 +442,17 @@ def test_chainN_kernel_matches_oracle():
         x, haps, np.arange(2 * R, dtype=np.int32),
         lx=lx, ly=ly, nr=nr, interpret=not _on_tpu()))
     np.testing.assert_array_equal(got, exp)
+
+
+def test_chunk_env_validation(monkeypatch):
+    # VARTRIX_CHUNK must be rounded to whole lane-pair groups (odd
+    # values would leave tail lanes unwritten) and reject <= 0
+    from vartrix_tpu.ops import sw_pallas_v2 as v2
+
+    monkeypatch.setenv("VARTRIX_CHUNK", "100000")
+    assert v2._chunk() % 256 == 0 and v2._chunk() >= 100000
+    monkeypatch.setenv("VARTRIX_CHUNK", "0")
+    with pytest.raises(ValueError):
+        v2._chunk()
+    monkeypatch.delenv("VARTRIX_CHUNK")
+    assert v2._chunk() == v2.CHUNK

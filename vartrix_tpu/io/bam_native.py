@@ -243,8 +243,12 @@ def cram_decode_native(path: str, fasta_path: Optional[str],
     offp, noff = None, 0
     if offsets is not None:
         o = np.ascontiguousarray(offsets, dtype=np.int64)
-        offp = o.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
         noff = len(o)
+        if noff == 0:
+            # an EMPTY plan decodes nothing (vs None = whole file); keep
+            # the pointer non-null so the C side can tell them apart
+            o = np.zeros(1, dtype=np.int64)
+        offp = o.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
     h = lib.cram_decode(path.encode(), (fasta_path or "").encode(),
                         offp, ctypes.c_int64(noff), ctypes.c_int(n_threads))
     try:

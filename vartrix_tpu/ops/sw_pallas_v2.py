@@ -187,7 +187,16 @@ def _chunk() -> int:
     phase (see docs/KERNEL.md chunk A/B); compiled shapes stay
     workload-independent per chunk size."""
     env = os.environ.get("VARTRIX_CHUNK")
-    return int(env) if env else CHUNK
+    if not env:
+        return CHUNK
+    # round up to a multiple of 2*LANES (quad lane pairing + grid
+    # tiling both need it); a raw odd value would leave tail lanes
+    # unwritten by the kernel (garbage scores), and <= 0 would hang
+    # the dispatch loops
+    n = int(env)
+    if n <= 0:
+        raise ValueError(f"VARTRIX_CHUNK must be positive, got {env}")
+    return -(-n // (2 * LANES)) * (2 * LANES)
 
 
 @functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
@@ -769,7 +778,7 @@ def _sw_pair_chained_calls(x_u8: jax.Array, hap_mat: jax.Array,
     return jnp.where(dropped, 0, code).astype(jnp.int8)
 
 
-def _pair_chunks(x, hap_mat, idx_ref, idx_alt, entry, out, unroll):
+def _pair_chunks(x, hap_mat, idx_ref, idx_alt, entry, unroll):
     """Shared chunking for the chained-pair entries: each chunk ships
     R read rows (one lane per read) + interleaved hap indices."""
     provider = callable(x)
@@ -802,7 +811,7 @@ def sw_calls_pair_chained_tpu(x, hap_mat: np.ndarray,
     """Chained-lane flavor of sw_calls_pair_tpu (VARTRIX_CHAINED=1)."""
     out = np.empty(x.shape[0], dtype=np.int8)
     results, spans = _pair_chunks(x, hap_mat, idx_ref, idx_alt,
-                                  _sw_pair_chained_calls, out, unroll)
+                                  _sw_pair_chained_calls, unroll)
     for r, (s, n) in zip(results, spans):
         out[s : s + n] = np.asarray(r)[:n]
     return out
@@ -814,7 +823,7 @@ def sw_scores_pair_chained_tpu(x, hap_mat: np.ndarray,
     """Chained-lane flavor of sw_scores_pair_tpu -> int32 [R, 2]."""
     out = np.empty((x.shape[0], 2), dtype=np.int32)
     results, spans = _pair_chunks(x, hap_mat, idx_ref, idx_alt,
-                                  _sw_pair_chained, out, unroll)
+                                  _sw_pair_chained, unroll)
     for r, (s, n) in zip(results, spans):
         block = np.asarray(r)
         out[s : s + n, 0] = block[0, :n]

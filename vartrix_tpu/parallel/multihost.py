@@ -144,8 +144,10 @@ def gather_triplets(matrix, process_index: int, process_count: int,
     from ..io.matrix_market import TriMat
 
     n_local = matrix.nnz()
+    # int64: a local shard can legitimately exceed 2^31 triplets at
+    # cohort scale
     counts = np.asarray(multihost_utils.process_allgather(
-        np.array([n_local], dtype=np.int32))).reshape(process_count)
+        np.array([n_local], dtype=np.int64))).reshape(process_count)
     total = int(counts.sum())
     is_root = process_index == root
     if is_root:
