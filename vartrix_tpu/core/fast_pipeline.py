@@ -295,6 +295,7 @@ def _score_all_pairs(
         hap_ids[1::2] = 2 * uniq_v + 1
         hap_mat = _gather_padded_pool(hap_pool, hap_off, hap_ids, ly,
                                       pad_byte=1)
+        hap_mat = _quantize_hap_rows(hap_mat)
         x = _read_provider(cbam, t_read[sel], lx)
         idx_ref = (2 * v_inv).astype(np.int32)
         idx_alt = (2 * v_inv + 1).astype(np.int32)
@@ -303,6 +304,24 @@ def _score_all_pairs(
     for wi, start, count in blocks:
         results[wi][...] = flat[start : start + count]
     return results
+
+
+def _quantize_hap_rows(hap_mat: np.ndarray) -> np.ndarray:
+    """Pad the haplotype matrix to a power-of-two row count (min 256).
+    The row count is workload-dependent (unique haplotypes per bucket),
+    and it is an argument SHAPE of the jitted device entries — without
+    quantization every new dataset recompiles the kernel (seconds
+    through the relay; surfaced by the 100k-variant cohort bench). Pad
+    rows are never indexed."""
+    n = hap_mat.shape[0]
+    q = 256
+    while q < n:
+        q *= 2
+    if q == n:
+        return hap_mat
+    out = np.ones((q, hap_mat.shape[1]), dtype=np.uint8)
+    out[:n] = hap_mat
+    return out
 
 
 def _gather_padded_pool(pool: np.ndarray, off: np.ndarray, ids: np.ndarray,
@@ -405,6 +424,7 @@ def score_all_fast(
             w = works[int(hk) // 2]
             hap = w.rref if int(hk) % 2 == 0 else w.alt_hap
             hap_mat[u, : len(hap)] = np.frombuffer(hap, np.uint8)
+        hap_mat = _quantize_hap_rows(hap_mat)
         compact2 = getattr(score_batch_fn, "compact2", None)
         if not use_compact2:
             # default off: through the axon TPU relay the chunked per-pair
