@@ -74,7 +74,11 @@ def prepare_variants(
     computed rows for sharded multi-host runs — out-of-range rows are
     silently skipped (no metrics, no haplotypes) but keep their place in
     the matrix dimensions."""
-    valid = set(args.valid_chars)
+    # vectorized valid-chars membership: a byte-wise scan of the full alt
+    # haplotype per variant is O(hap_len) Python per record otherwise
+    # (~2s of the 100k-variant cohort's haplotypes phase)
+    valid_lut = np.zeros(256, dtype=bool)
+    valid_lut[list(args.valid_chars)] = True
     works: List[VariantWork] = []
     for i, rec in enumerate(records):
         locus = Locus(rec.chrom, rec.pos, rec.pos + len(rec.ref))
@@ -96,7 +100,8 @@ def prepare_variants(
         # NOTE: the reference checks valid chars on the FULL alt haplotype
         # (src/main.rs:675-684), i.e. including the reference padding — an
         # N in the padded reference sequence also skips the record.
-        invalid = any(c not in valid for c in alt_hap)
+        invalid = bool(alt_hap) and not valid_lut[
+            np.frombuffer(alt_hap, np.uint8)].all()
         if invalid:
             log.warning(
                 "Variant at %s:%d has invalid alternative characters. "

@@ -72,6 +72,8 @@ class IndexedFasta:
         self.path = fasta_path
         self.index = FastaIndex.from_file(fai_path)
         self._fh = open(fasta_path, "rb")
+        self._cache_chrom = None
+        self._cache_seq = b""
 
     def close(self) -> None:
         self._fh.close()
@@ -93,6 +95,17 @@ class IndexedFasta:
         end = max(start, min(end, e.length))
         if end == start:
             return b""
+        # single-chrom cache: haplotype construction fetches 3 windows
+        # per variant and VCFs are chrom-sorted, so caching the CURRENT
+        # chromosome as raw bytes turns 100k-variant cohorts' fetch cost
+        # from ~2s of seek+read+strip into pure slicing. One chromosome
+        # resident at a time (~250MB worst case on human chr1).
+        if self._cache_chrom != chrom:
+            self._cache_chrom = chrom
+            self._cache_seq = self._read_range(e, 0, e.length)
+        return self._cache_seq[start:end]
+
+    def _read_range(self, e, start: int, end: int) -> bytes:
         line_full, line_blen = e.linebases, e.linewidth
         first_line = start // line_full
         last_line = (end - 1) // line_full
@@ -103,10 +116,19 @@ class IndexedFasta:
         # strip line terminators (anything beyond the per-line base count)
         if line_blen == line_full:
             return raw
+        n = end - start
+        if start % line_full == 0:
+            # line-aligned read (the whole-chromosome cache fill):
+            # vectorized strip via a [rows, line_blen] view
+            import numpy as np
+            full_rows = len(raw) // line_blen
+            arr = np.frombuffer(raw[: full_rows * line_blen], np.uint8)
+            body = arr.reshape(full_rows, line_blen)[:, :line_full].tobytes()
+            tail = raw[full_rows * line_blen :][:line_full]
+            return (body + tail)[:n]
         out = bytearray()
         pos = start
         i = 0
-        n = end - start
         while len(out) < n:
             line_rem = line_full - (pos % line_full)
             take = min(line_rem, n - len(out))
