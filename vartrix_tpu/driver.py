@@ -311,7 +311,13 @@ def _main(argv: List[str]) -> None:
     fetch_chunks = None
     fetch_loci = [(w.locus.chrom, w.locus.start, w.locus.end)
                   for w in works if not w.skipped]
-    if args.fetch != "whole" and not _is_cram(args.bam):
+    if (args.fetch == "auto" and not _is_cram(args.bam)
+            and os.path.getsize(args.bam) < 64 * 1024 * 1024):
+        # planning over a 100k-window VCF costs ~1.4s — more than whole-
+        # file decode of a small BAM can ever save; auto skips straight
+        # to whole-file below this size (--fetch regions still plans)
+        pass
+    elif args.fetch != "whole" and not _is_cram(args.bam):
         from .io.bai import plan_region_fetch
         loci = fetch_loci
         plan, frac = plan_region_fetch(args.bam, loci, bam.tid_by_name)
