@@ -851,10 +851,18 @@ void decode_slice_records(SliceCtx& sc, int32_t slice_ref,
       };
       auto add_cigar = [&](uint8_t op, int64_t ln) {
         if (ln <= 0) return;
-        if (!cigar.empty() && cigar.back().op == op)
+        // 28-bit CIGAR op-length field: reject crafted CRAMs whose
+        // features (or merged runs of one op) would wrap it, both in
+        // the in-record ops and the long-CIGAR CG:B,I aux copy
+        if (!cigar.empty() && cigar.back().op == op) {
+          if ((int64_t)cigar.back().len + ln >= (int64_t)1 << 28)
+            throw CramError("CIGAR op length exceeds 28-bit limit");
           cigar.back().len += (int32_t)ln;
-        else
+        } else {
+          if (ln >= (int64_t)1 << 28)
+            throw CramError("CIGAR op length exceeds 28-bit limit");
           cigar.push_back({op, (int32_t)ln});
+        }
       };
       auto copy_ref = [&](int64_t upto) {
         int64_t n = upto - rp;
@@ -986,11 +994,20 @@ void decode_slice_records(SliceCtx& sc, int32_t slice_ref,
     put_i32(out, 0);
     out.insert(out.end(), qn, qn + qn_len);
     out.push_back(0);
+    // CIGAR op lengths live in a 28-bit field; a crafted CRAM with a
+    // huge N/D feature would silently wrap the placeholder length (and
+    // ref_end) without this check (read_len is range-checked above)
+    if (ref_consumed >= (int64_t)1 << 28)
+      throw CramError("ref_consumed exceeds 28-bit CIGAR op length");
     if (long_cigar) {
       put_u32(out, ((uint32_t)read_len << 4) | 4);  // lS
       put_u32(out, ((uint32_t)std::max<int64_t>(ref_consumed, 0) << 4) | 3);
     } else {
-      for (auto& c : cigar) put_u32(out, ((uint32_t)c.len << 4) | c.op);
+      for (auto& c : cigar) {
+        if ((uint32_t)c.len >= (1u << 28))
+          throw CramError("CIGAR op length exceeds 28-bit limit");
+        put_u32(out, ((uint32_t)c.len << 4) | c.op);
+      }
     }
     // 4-bit packed sequence
     size_t sp = out.size();

@@ -445,14 +445,53 @@ def test_chainN_kernel_matches_oracle():
 
 
 def test_chunk_env_validation(monkeypatch):
-    # VARTRIX_CHUNK must be rounded to whole lane-pair groups (odd
-    # values would leave tail lanes unwritten) and reject <= 0
+    # VARTRIX_CHUNK must be rounded to a multiple of 4*LANES (512): the
+    # quad path derives lanes = chunk/4 and its grid floor-drops any
+    # partial lane block, so a merely 256-aligned chunk silently
+    # returns garbage for the last <=128 reads of every full chunk
+    # (advisor r3 high finding). Also reject <= 0.
     from vartrix_tpu.ops import sw_pallas_v2 as v2
 
     monkeypatch.setenv("VARTRIX_CHUNK", "100000")
-    assert v2._chunk() % 256 == 0 and v2._chunk() >= 100000
+    assert v2._chunk() % 512 == 0 and v2._chunk() >= 100000
     monkeypatch.setenv("VARTRIX_CHUNK", "0")
     with pytest.raises(ValueError):
         v2._chunk()
     monkeypatch.delenv("VARTRIX_CHUNK")
     assert v2._chunk() == v2.CHUNK
+
+
+def test_chunk_nonpow2_quad_end_to_end(monkeypatch):
+    # End-to-end pin for the advisor finding: run the production quad
+    # entry with a NON-power-of-two chunk cap that binds (every full
+    # chunk hits the cap) and compare against a single-dispatch run.
+    # Before the 4*LANES rounding fix, VARTRIX_CHUNK=1300 -> chunk 1408
+    # -> bp 704 -> 352 lanes (2.75 lane groups): the grid dropped the
+    # last 96 lanes and the tail reads of each full chunk came back 0.
+    from vartrix_tpu.ops.sw_pallas_v2 import (sw_calls_pair_quad_tpu,
+                                              sw_scores_pair_quad_tpu,
+                                              quad_feasible)
+
+    rng = np.random.default_rng(53)
+    R, H, lx, ly = 1000, 24, 32, 48
+    assert quad_feasible(lx, ly)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    x = np.zeros((R, lx), np.uint8)
+    for i in range(R):
+        n = int(rng.integers(8, lx + 1))
+        x[i, :n] = rng.choice(bases, n)
+    haps = rng.choice(bases, size=(H, ly)).astype(np.uint8)
+    for i in range(0, R, 3):
+        haps[i % H, 4 : 4 + lx - 8] = x[i, : lx - 8]
+    idx_ref = rng.integers(0, H, size=R).astype(np.int32)
+    idx_alt = rng.integers(0, H, size=R).astype(np.int32)
+
+    monkeypatch.delenv("VARTRIX_CHUNK", raising=False)
+    exp_calls = sw_calls_pair_quad_tpu(x, haps, idx_ref, idx_alt)
+    exp_scores = sw_scores_pair_quad_tpu(x, haps, idx_ref, idx_alt)
+
+    monkeypatch.setenv("VARTRIX_CHUNK", "1300")  # -> 1536, cap binds
+    got_calls = sw_calls_pair_quad_tpu(x, haps, idx_ref, idx_alt)
+    got_scores = sw_scores_pair_quad_tpu(x, haps, idx_ref, idx_alt)
+    np.testing.assert_array_equal(got_calls, exp_calls)
+    np.testing.assert_array_equal(got_scores, exp_scores)

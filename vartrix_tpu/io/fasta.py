@@ -74,6 +74,10 @@ class IndexedFasta:
         self._fh = open(fasta_path, "rb")
         self._cache_chrom = None
         self._cache_seq = b""
+        # per-chrom cache-miss counts: detects interleaved-chrom fetch
+        # patterns (multi-ref CRAM ref_fetch, unsorted VCFs) where the
+        # whole-chrom cache fill would thrash O(switches x chrom_len)
+        self._miss_counts: Dict[str, int] = {}
 
     def close(self) -> None:
         self._fh.close()
@@ -101,6 +105,15 @@ class IndexedFasta:
         # from ~2s of seek+read+strip into pure slicing. One chromosome
         # resident at a time (~250MB worst case on human chr1).
         if self._cache_chrom != chrom:
+            self._miss_counts[chrom] = self._miss_counts.get(chrom, 0) + 1
+            # Interleaved-chrom pattern (this chrom already filled the
+            # cache once and was evicted): a small request goes through
+            # the windowed read instead of re-reading the whole
+            # chromosome again, keeping I/O O(request) rather than
+            # O(switches x chrom_len). The chrom-sorted haplotype path
+            # misses each chrom exactly once and is unaffected.
+            if self._miss_counts[chrom] > 1 and end - start <= 1 << 16:
+                return self._read_range(e, start, end)
             self._cache_chrom = chrom
             self._cache_seq = self._read_range(e, 0, e.length)
         return self._cache_seq[start:end]

@@ -189,14 +189,16 @@ def _chunk() -> int:
     env = os.environ.get("VARTRIX_CHUNK")
     if not env:
         return CHUNK
-    # round up to a multiple of 2*LANES (quad lane pairing + grid
-    # tiling both need it); a raw odd value would leave tail lanes
-    # unwritten by the kernel (garbage scores), and <= 0 would hang
-    # the dispatch loops
+    # round up to a multiple of 4*LANES: the quad path derives
+    # lanes = chunk/4 (2 pairs -> 1 padded read row -> half a lane),
+    # and grid = lanes // LANES floor-drops any partial lane block —
+    # a chunk that is only 2*LANES-aligned silently returns garbage
+    # for the last <=128 reads of every full chunk (advisor r3,
+    # high). <= 0 would hang the dispatch loops.
     n = int(env)
     if n <= 0:
         raise ValueError(f"VARTRIX_CHUNK must be positive, got {env}")
-    return -(-n // (2 * LANES)) * (2 * LANES)
+    return -(-n // (4 * LANES)) * (4 * LANES)
 
 
 @functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
@@ -1079,8 +1081,12 @@ def _pair2_chunks(x, hap_mat, idx_ref, idx_alt, entry, unroll):
     while start < R:
         n = min(half, R - start)
         # power-of-two quantized (>= 2*LANES, so lanes pair up): tail
-        # chunks reuse log2-many compiled shapes across datasets
+        # chunks reuse log2-many compiled shapes across datasets.
+        # The final rounding to 2*LANES keeps lanes = bp/2 whole lane
+        # groups even when _quantized_batch's cap (= a VARTRIX_CHUNK
+        # override) is not a power of two.
         bp = max(_quantized_batch(2 * n) // 2, 2 * LANES)
+        bp = -(-bp // (2 * LANES)) * (2 * LANES)
         xc = np.zeros((bp, lx), dtype=np.uint8)
         xc[:n] = x(start, n) if provider else x[start : start + n]
         idx2 = np.zeros(2 * bp, dtype=np.int32)
