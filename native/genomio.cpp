@@ -29,7 +29,9 @@
 #include <cstring>
 #include <cstdio>
 #include <string>
+#include <string_view>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -960,6 +962,85 @@ void gio_gather_padded(const uint8_t* pool, const int64_t* seq_off,
       if (len < lx) memset(dst + len, 0, (size_t)(lx - len));
     }
   });
+}
+
+// ---- Aux-tag value mapping ----------------------------------------------
+//
+// The collect phase maps every record's CB tag to a barcode-list index
+// and every UB tag to an equality-preserving dense id (the semantics of
+// src/main.rs:737-757 vectorized over the whole file). The Python
+// fallback does this with per-length gathers + a vectorized hash; these
+// native versions replace ~0.3s of NumPy work (and its ~150MB of
+// temporary index matrices) per 500k reads with one hash-table pass.
+
+// out[i] = kvals[j] where keys[j] byte-equals record i's tag; -1 when
+// the tag is absent (zero-length), `miss` when present but not listed.
+void gio_tag_lookup(const uint8_t* pool, const int64_t* off, int64_t n,
+                    const uint8_t* keys, const int64_t* koff, int64_t K,
+                    const int32_t* kvals, int32_t miss, int32_t* out,
+                    int n_threads) {
+  std::unordered_map<std::string_view, int32_t> table;
+  table.reserve((size_t)K * 2);
+  for (int64_t j = 0; j < K; ++j) {
+    std::string_view k((const char*)keys + koff[j],
+                       (size_t)(koff[j + 1] - koff[j]));
+    table.emplace(k, kvals[j]);  // first-seen wins, like dict semantics
+  }
+  parallel_chunks(n, n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      int64_t len = off[i + 1] - off[i];
+      if (len == 0) { out[i] = -1; continue; }
+      auto it = table.find(
+          std::string_view((const char*)pool + off[i], (size_t)len));
+      out[i] = (it == table.end()) ? miss : it->second;
+    }
+  });
+}
+
+// out[i] = dense first-seen id of record i's tag bytes (-1 = absent).
+// Open-addressing table over (hash, first-record-index) slots — UMI
+// cardinality approaches the record count, so std::unordered_map's
+// per-node allocations dominate; a flat table with precomputed hashes
+// (hashed in parallel) makes the serial insert pass ~memcmp-bound.
+// Single-threaded insertion keeps ids deterministic in record order;
+// only equality is meaningful downstream (UMI grouping).
+void gio_tag_ids(const uint8_t* pool, const int64_t* off, int64_t n,
+                 int64_t* out, int n_threads) {
+  if (n <= 0) return;
+  std::vector<uint64_t> h((size_t)n);
+  parallel_chunks(n, n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      uint64_t v = 1469598103934665603ull;  // FNV-1a 64
+      for (int64_t p = off[i]; p < off[i + 1]; ++p)
+        v = (v ^ pool[p]) * 1099511628211ull;
+      h[(size_t)i] = v;
+    }
+  });
+  size_t cap = 16;
+  while (cap < (size_t)n * 2) cap <<= 1;
+  std::vector<int64_t> slot(cap, -1);  // record index of the slot owner
+  size_t mask = cap - 1;
+  int64_t next = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t len = off[i + 1] - off[i];
+    if (len == 0) { out[i] = -1; continue; }
+    size_t s = (size_t)h[(size_t)i] & mask;
+    for (;;) {
+      int64_t owner = slot[s];
+      if (owner < 0) {
+        slot[s] = i;
+        out[i] = next++;
+        break;
+      }
+      if (h[(size_t)owner] == h[(size_t)i] &&
+          off[owner + 1] - off[owner] == len &&
+          memcmp(pool + off[owner], pool + off[i], (size_t)len) == 0) {
+        out[i] = out[owner];
+        break;
+      }
+      s = (s + 1) & mask;
+    }
+  }
 }
 
 // ---- Matrix Market body formatting / parsing ----------------------------

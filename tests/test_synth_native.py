@@ -158,3 +158,57 @@ def test_pair_and_compact_provider_match_array(monkeypatch):
     cbase = v2.sw_scores_compact_tpu(x, hap, idx_r)
     assert np.array_equal(v2.sw_scores_compact_tpu(prov, hap, idx_r), cbase)
     assert np.array_equal(cbase, base[:, 0])
+
+
+def test_native_tag_maps_match_python(tmp_path):
+    # gio_tag_lookup / gio_tag_ids vs the Python _unique_map fallback:
+    # exact equality for CB (absent -1 / unlisted -2 / listed index),
+    # equality-preserving bijection for UB ids. Includes absent tags,
+    # unlisted barcodes, mixed tag lengths, and repeated values.
+    from vartrix_tpu.io.bam_native import ColumnarBam, native_available
+    from vartrix_tpu.io.bam_writer import encode_record, write_bam
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    cbs = [b"AAAA-1", b"CCCC-1", b"GGGG-1", b"TTTTTTTT-1", b"NOPE"]
+    ubs = [b"AC", b"ACGT", b"ACGTACGT", b"TTTT", b"TTTA"]
+    recs = []
+    for i in range(500):
+        tags = []
+        if i % 7 != 3:  # absent CB every 7th-ish record
+            tags.append((b"CB", cbs[int(rng.integers(0, len(cbs)))]))
+        if i % 5 != 2:
+            tags.append((b"UB", ubs[int(rng.integers(0, len(ubs)))]))
+        recs.append(encode_record(b"r%d" % i, 0, 0, 100 + i, 60,
+                                  [(0, 10)], b"ACGTACGTAC", tags=tags))
+    p = tmp_path / "tags.bam"
+    write_bam(str(p), [("c1", 100000)], recs)
+    cbam = ColumnarBam(str(p))
+    barcodes = {b"AAAA-1": 0, b"CCCC-1": 1, b"GGGG-1": 2, b"TTTTTTTT-1": 3}
+
+    got_cb = cbam.cb_indices(barcodes)
+    exp_cb = cbam._unique_map(
+        cbam.cb_off, cbam.cb_pool, lambda s: barcodes.get(s, -2)
+    ).astype(np.int32)
+    np.testing.assert_array_equal(got_cb, exp_cb)
+    assert (got_cb == -2).any() and (got_cb == -1).any()  # both paths hit
+
+    got_ub = cbam.ub_ids()
+
+    class _NoNative:
+        pass
+
+    lib = cbam._lib
+    cbam._lib = _NoNative()  # force the Python fallback
+    try:
+        exp_ub = cbam.ub_ids()
+    finally:
+        cbam._lib = lib
+    assert (got_ub < 0).tolist() == (exp_ub < 0).tolist()
+    for a, b in ((got_ub, exp_ub), (exp_ub, got_ub)):
+        m = {}
+        for x, y in zip(a.tolist(), b.tolist()):
+            if x < 0:
+                continue
+            assert m.setdefault(x, y) == y  # bijective grouping

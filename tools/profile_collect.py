@@ -27,7 +27,7 @@ def main():
     from vartrix_tpu.core.pipeline import (PipelineArgs, prepare_variants)
     from vartrix_tpu.io.bam_native import ColumnarBam
     from vartrix_tpu.io.barcodes import load_barcodes
-    from vartrix_tpu.io.vcf import read_vcf
+    from vartrix_tpu.io.vcf import read_vcf_records
     from vartrix_tpu.utils.synth import SynthConfig, generate_dataset
 
     TIMED_CFG = dict(n_chroms=4, chrom_len=200_000, n_variants=1000,
@@ -42,9 +42,10 @@ def main():
     print(f"decode: {time.time()-t0:.3f}s ({cbam.n} records)")
 
     barcodes = load_barcodes(data["barcodes"])
-    recs = read_vcf(data["vcf"])
+    recs = read_vcf_records(data["vcf"])
     args = PipelineArgs(use_umi=True)
-    works = prepare_variants(recs, data["fasta"], args)
+    from vartrix_tpu.io.fasta import IndexedFasta
+    works = prepare_variants(recs, IndexedFasta(data["fasta"]), args)
 
     for rep in range(reps):
         n = cbam.n

@@ -89,6 +89,17 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.c_int]
         except AttributeError:
             pass
+        i32p_ = ctypes.POINTER(ctypes.c_int32)
+        try:
+            lib.gio_tag_lookup.restype = None
+            lib.gio_tag_lookup.argtypes = [
+                u8p, i64p, ctypes.c_int64, u8p, i64p, ctypes.c_int64,
+                i32p_, ctypes.c_int32, i32p_, ctypes.c_int]
+            lib.gio_tag_ids.restype = None
+            lib.gio_tag_ids.argtypes = [u8p, i64p, ctypes.c_int64, i64p,
+                                        ctypes.c_int]
+        except AttributeError:
+            pass
         try:
             lib.gio_mtx_format.restype = vp
             lib.gio_mtx_format.argtypes = [i64p, i64p, f64p, ctypes.c_int64,
@@ -398,7 +409,29 @@ class ColumnarBam:
 
     def cb_indices(self, barcodes: dict) -> np.ndarray:
         """Map each record's CB tag to a dense barcode index (-1 when the
-        tag is absent or the barcode is not in the list)."""
+        tag is absent, -2 when the barcode is not in the list)."""
+        lib = self._lib
+        if hasattr(lib, "gio_tag_lookup"):
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            items = list(barcodes.items())
+            keys = np.frombuffer(b"".join(k for k, _ in items), np.uint8)
+            koff = np.zeros(len(items) + 1, np.int64)
+            np.cumsum([len(k) for k, _ in items], out=koff[1:])
+            kvals = np.fromiter((v for _, v in items), np.int32,
+                                count=len(items))
+            out = np.empty(self.n, np.int32)
+            lib.gio_tag_lookup(
+                self.cb_pool.ctypes.data_as(u8p),
+                self.cb_off.ctypes.data_as(i64p),
+                ctypes.c_int64(self.n),
+                keys.ctypes.data_as(u8p), koff.ctypes.data_as(i64p),
+                ctypes.c_int64(len(items)),
+                kvals.ctypes.data_as(i32p), ctypes.c_int32(-2),
+                out.ctypes.data_as(i32p),
+                ctypes.c_int(os.cpu_count() or 1))
+            return out
         return self._unique_map(
             self.cb_off, self.cb_pool, lambda s: barcodes.get(s, -2)
         ).astype(np.int32)
@@ -412,6 +445,17 @@ class ColumnarBam:
         Python-level per-value mapping is required: ids come straight from
         vectorized hash-unique per length group (with byte-exact collision
         repair), unlike cb_indices which must consult the barcode dict."""
+        lib = self._lib
+        if hasattr(lib, "gio_tag_ids"):
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            out = np.empty(self.n, np.int64)
+            lib.gio_tag_ids(
+                self.ub_pool.ctypes.data_as(u8p),
+                self.ub_off.ctypes.data_as(i64p),
+                ctypes.c_int64(self.n), out.ctypes.data_as(i64p),
+                ctypes.c_int(os.cpu_count() or 1))
+            return out
         off, pool = self.ub_off, self.ub_pool
         n = len(off) - 1
         out = np.full(n, -1, dtype=np.int64)
