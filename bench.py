@@ -126,19 +126,29 @@ def bench_cpu_baseline(n_pairs=20000):
 TIMED_CFG = dict(n_chroms=4, chrom_len=200_000, n_variants=1000,
                  n_cells=2000, reads_per_variant=500, spliced_frac=0.5)
 
+# 100k-loci cohort profile (BASELINE.md "variants/sec" north-star row);
+# emitted in the JSON line so the claim is driver-capturable (VERDICT r3
+# #5), not prose-only.
+COHORT_CFG = dict(n_chroms=16, chrom_len=4_000_000, n_variants=100_000,
+                  n_cells=5000, reads_per_variant=6, spliced_frac=0.3)
 
-def bench_e2e(kernel_aps=None, reps=3):
+
+def bench_e2e(kernel_aps=None, reps=5):
     """North-star e2e comparison (BASELINE.md): the full TPU pipeline vs a
     full CPU pipeline standing in for multi-threaded vartrix — same
     workload, all host cores, reference-style banded scoring (banded is
     FASTER than full SW on CPU, so the ratio is conservative).
 
-    Protocol: each backend first runs a WARM-UP dataset with the SAME
-    generator profile as the timed ones (so kernel shapes compile and the
-    relay warms on the shapes that will be timed), then is timed on
-    `reps` FRESH datasets (the relay caches identical computations) and
-    the MEDIAN is reported. Per-phase times come from --metrics-json.
-    Returns (tpu_median_rps, cpu_median_rps)."""
+    Protocol (weather-robust, VERDICT r3 #1): this guest VM measures
+    4-15x wall-clock spread on IDENTICAL native-only work (BASELINE.md
+    round-3 table), so sequential same-arm reps confound backend with
+    weather. Both arms are warmed once, then each rep generates ONE
+    fresh dataset (the relay caches identical computations) and runs
+    BOTH arms back-to-back on it — same data, same weather window; arm
+    order alternates per rep. Reported: per-arm median and min after
+    dropping each arm's slowest rep (stalls only ever ADD time), the
+    ratio of medians, the ratio of bests, and the median of per-rep
+    paired ratios. Returns a dict of those numbers."""
     import tempfile
 
     from vartrix_tpu.driver import _main
@@ -148,6 +158,8 @@ def bench_e2e(kernel_aps=None, reps=3):
     warm = generate_dataset(os.path.join(d, "w"), SynthConfig(
         seed=3, **{**TIMED_CFG, "n_variants": 200, "reads_per_variant": 100}))
     nt = str(os.cpu_count() or 1)
+    ARMS = {"cpu": ["--sw-mode", "banded", "--backend", "cpu"],
+            "tpu": ["--backend", "tpu"]}
 
     def one_run(data, tag, extra):
         out = os.path.join(d, f"out_{tag}.mtx")
@@ -165,44 +177,93 @@ def bench_e2e(kernel_aps=None, reps=3):
             pass
         return dt, phases
 
-    def run_arm(tag, extra):
+    for tag, extra in ARMS.items():
+        t0 = time.time()
         _main(["-v", warm["vcf"], "-b", warm["bam"], "-f", warm["fasta"],
                "-c", warm["barcodes"], "-o",
                os.path.join(d, f"warm_{tag}.mtx"), "--threads", nt, *extra])
-        rates, scores = [], []
-        n_pairs = 0
-        for rep in range(reps):
-            data = generate_dataset(os.path.join(d, f"t_{tag}_{rep}"),
-                                    SynthConfig(seed=100 + rep, **TIMED_CFG))
-            dt, phases = one_run(data, f"{tag}_{rep}", extra)
-            rates.append(data["n_reads"] / dt)
-            if "score" in phases:
-                scores.append(phases["score"])
-            n_pairs = max(n_pairs, data["n_reads"])
-            log(f"e2e [{tag} rep{rep}]: {data['n_reads']} reads in {dt:.1f}s"
-                f" -> {data['n_reads']/dt:.0f} reads/s"
+        log(f"e2e warm-up [{tag}]: {time.time()-t0:.1f}s")
+
+    rates = {"cpu": [], "tpu": []}
+    tpu_scores = []
+    n_reads = 0
+    for rep in range(reps):
+        data = generate_dataset(os.path.join(d, f"t_{rep}"),
+                                SynthConfig(seed=100 + rep, **TIMED_CFG))
+        n_reads = data["n_reads"]
+        order = ["cpu", "tpu"] if rep % 2 == 0 else ["tpu", "cpu"]
+        for tag in order:
+            dt, phases = one_run(data, f"{tag}_{rep}", ARMS[tag])
+            rates[tag].append(n_reads / dt)
+            if tag == "tpu" and "score" in phases:
+                tpu_scores.append(phases["score"])
+            log(f"e2e [{tag} rep{rep}]: {n_reads} reads in {dt:.1f}s"
+                f" -> {n_reads/dt:.0f} reads/s"
                 + (f" (phases: " + ", ".join(
                     f"{k} {v:.2f}s" for k, v in sorted(phases.items())) + ")"
                    if phases else ""))
-        med = statistics.median(rates)
-        log(f"e2e [{tag}] median of {reps}: {med:.0f} reads/s")
-        if scores and kernel_aps and tag == "tpu":
-            sc = statistics.median(scores)
-            # each surviving read scores ~1 (ref, alt) pair; device time
-            # estimated from the kernel benchmark -> remainder is host
-            # gather + transfer + dispatch overhead
-            dev = n_pairs / kernel_aps * 2  # 2 alignments per read-pair task
-            log(f"score phase median {sc:.2f}s; est. pure-kernel "
-                f"{dev:.2f}s -> ~{max(sc-dev, 0):.2f}s transfer/dispatch "
-                f"({100*max(sc-dev,0)/sc:.0f}% of score phase)")
-        return med
 
-    cpu = run_arm("cpu-banded", ["--sw-mode", "banded", "--backend", "cpu"])
-    tpu = run_arm("tpu", ["--backend", "tpu"])
-    if cpu:
-        log(f"e2e TPU vs multi-threaded CPU banded pipeline "
-            f"(median of {reps}): {tpu/cpu:.1f}x")
-    return tpu, cpu
+    def trimmed(v):
+        # drop the slowest rep (weather stalls only ever add time)
+        return sorted(v)[1:] if len(v) >= 3 else sorted(v)
+
+    res = {}
+    for tag in ARMS:
+        t = trimmed(rates[tag])
+        res[f"{tag}_median"] = statistics.median(t)
+        res[f"{tag}_best"] = max(t)
+        log(f"e2e [{tag}] reps: "
+            + ", ".join(f"{r:.0f}" for r in rates[tag])
+            + f" reads/s -> trimmed median {res[f'{tag}_median']:.0f}, "
+              f"best {res[f'{tag}_best']:.0f}")
+    pair_ratios = [t / c for t, c in zip(rates["tpu"], rates["cpu"])]
+    res["ratio_median"] = res["tpu_median"] / res["cpu_median"]
+    res["ratio_best"] = res["tpu_best"] / res["cpu_best"]
+    res["ratio_paired"] = statistics.median(pair_ratios)
+    log(f"e2e TPU vs multi-threaded CPU banded pipeline: "
+        f"median-ratio {res['ratio_median']:.1f}x, best-ratio "
+        f"{res['ratio_best']:.1f}x, paired per-rep ratios "
+        + ", ".join(f"{r:.1f}" for r in pair_ratios)
+        + f" -> paired median {res['ratio_paired']:.1f}x")
+    if tpu_scores and kernel_aps:
+        sc = statistics.median(tpu_scores)
+        # each surviving read scores ~1 (ref, alt) pair; device time
+        # estimated from the kernel benchmark -> remainder is host
+        # gather + transfer + dispatch overhead
+        dev = n_reads / kernel_aps * 2  # 2 alignments per read-pair task
+        log(f"score phase median {sc:.2f}s; est. pure-kernel "
+            f"{dev:.2f}s -> ~{max(sc-dev, 0):.2f}s transfer/dispatch "
+            f"({100*max(sc-dev,0)/sc:.0f}% of score phase)")
+    return res
+
+
+def bench_cohort(reps=2):
+    """100k-loci cohort throughput (variants/s end-to-end on TPU),
+    driver-capturable version of BASELINE.md's cohort row. Fresh dataset
+    per rep; best-of-reps reported (stalls only add time)."""
+    import tempfile
+
+    from vartrix_tpu.driver import _main
+    from vartrix_tpu.utils.synth import SynthConfig, generate_dataset
+
+    d = tempfile.mkdtemp()
+    nt = str(os.cpu_count() or 1)
+    best = 0.0
+    for rep in range(reps):
+        data = generate_dataset(os.path.join(d, f"c{rep}"), SynthConfig(
+            seed=500 + rep, **COHORT_CFG))
+        out = os.path.join(d, f"cohort{rep}.mtx")
+        t0 = time.time()
+        _main(["-v", data["vcf"], "-b", data["bam"], "-f", data["fasta"],
+               "-c", data["barcodes"], "-o", out, "--threads", nt,
+               "-s", "alt_frac", "--mapq", "20", "--primary-alignments",
+               "--backend", "tpu"])
+        dt = time.time() - t0
+        vps = COHORT_CFG["n_variants"] / dt
+        log(f"cohort rep{rep}: {COHORT_CFG['n_variants']} variants / "
+            f"{data['n_reads']} reads in {dt:.1f}s -> {vps:.0f} variants/s")
+        best = max(best, vps)
+    return best
 
 
 def main():
@@ -217,9 +278,13 @@ def main():
     def _device_benches():
         result["kernel"] = bench_tpu_kernel()
         try:
-            bench_e2e(kernel_aps=result["kernel"])
+            result["e2e"] = bench_e2e(kernel_aps=result["kernel"])
         except Exception as e:  # e2e context metric must not sink the bench
             log(f"e2e bench failed: {e}")
+        try:
+            result["cohort"] = bench_cohort()
+        except Exception as e:
+            log(f"cohort bench failed: {e}")
         result["done"] = True
 
     # CPU baseline FIRST: if the watchdog expires while the device
@@ -228,18 +293,28 @@ def main():
     baseline = bench_cpu_baseline()
     worker = threading.Thread(target=_device_benches, daemon=True)
     worker.start()
-    worker.join(timeout=2100)
+    worker.join(timeout=3000)
     value = result.get("kernel")
     if value is None:
         log("TPU unreachable (kernel bench timed out); emitting null value "
             "— see BASELINE.md round-3 table for on-chip measurements")
     vs = (value / baseline) if (value and baseline) else None
-    print(json.dumps({
+    line = {
         "metric": "sw_alignments_per_sec_chip",
         "value": round(value, 1) if value else None,
         "unit": "alignments/s",
         "vs_baseline": round(vs, 2) if vs else None,
-    }), flush=True)
+    }
+    e2e = result.get("e2e")
+    if e2e:
+        line["e2e_tpu_reads_per_sec"] = round(e2e["tpu_median"])
+        line["e2e_cpu_reads_per_sec"] = round(e2e["cpu_median"])
+        line["e2e_ratio_median"] = round(e2e["ratio_median"], 2)
+        line["e2e_ratio_best"] = round(e2e["ratio_best"], 2)
+        line["e2e_ratio_paired"] = round(e2e["ratio_paired"], 2)
+    if result.get("cohort"):
+        line["variants_per_sec_cohort"] = round(result["cohort"], 1)
+    print(json.dumps(line), flush=True)
     if not result.get("done"):
         os._exit(0)  # don't block shutdown on a hung relay call
 

@@ -218,3 +218,64 @@ def test_native_empty_container_plan(dataset, tmp_path):
     full = ColumnarBam(cram,
                        bam_bytes=cram_decode_native(cram, dataset["fasta"]))
     assert full.n == sum(1 for _ in BamReader(dataset["bam"]).records())
+
+
+def test_native_mixed_codec_profile(dataset, tmp_path):
+    """VERDICT r3 #6: htslib-style codec mix — BF/RL/TL multi-symbol
+    canonical HUFFMAN + CF/RG 0-bit single-symbol HUFFMAN (core bits),
+    BETA-coded AP positions, CB tag via BYTE_ARRAY_LEN with HUFFMAN
+    lengths. Native decode must equal the Python oracle AND the
+    original BAM columns (round trip)."""
+    b = BamReader(dataset["bam"])
+    cram = str(tmp_path / "m.cram")
+    write_cram(cram, list(zip(b.ref_names, b.ref_lens)), b.records(),
+               fasta_path=dataset["fasta"], codec_profile="mixed")
+    nat = _cram_native_vs_python(cram, dataset["fasta"], tmp_path, "m")
+    orig = ColumnarBam(dataset["bam"])
+    _columns_equal(nat, orig)
+
+
+def test_native_mixed_codec_verbatim_profile(dataset, tmp_path):
+    # mixed codecs on the no-reference ('b' features) profile
+    b = BamReader(dataset["bam"])
+    cram = str(tmp_path / "mv.cram")
+    write_cram(cram, list(zip(b.ref_names, b.ref_lens)), b.records(),
+               codec_profile="mixed")
+    _cram_native_vs_python(cram, None, tmp_path, "mv")
+
+
+def test_native_multi_slice_containers(dataset, tmp_path):
+    """Multi-slice containers (three slices sharing one compression
+    header, landmark-addressed): native == Python == original."""
+    b = BamReader(dataset["bam"])
+    cram = str(tmp_path / "ms.cram")
+    write_cram(cram, list(zip(b.ref_names, b.ref_lens)), b.records(),
+               fasta_path=dataset["fasta"], records_per_container=500,
+               slices_per_container=3)
+    nat = _cram_native_vs_python(cram, dataset["fasta"], tmp_path, "ms")
+    orig = ColumnarBam(dataset["bam"])
+    _columns_equal(nat, orig)
+
+
+def test_native_multi_slice_mixed_rans(dataset, tmp_path):
+    # everything at once: multi-slice + mixed codecs + rANS order-1
+    # blocks; also exercises the .crai on the multi-slice layout
+    from vartrix_tpu.io.cram import write_crai
+
+    b = BamReader(dataset["bam"])
+    cram = str(tmp_path / "msm.cram")
+    write_cram(cram, list(zip(b.ref_names, b.ref_lens)), b.records(),
+               fasta_path=dataset["fasta"], records_per_container=400,
+               slices_per_container=2, codec_profile="mixed",
+               block_method="rans1")
+    nat = _cram_native_vs_python(cram, dataset["fasta"], tmp_path, "msm")
+    orig = ColumnarBam(dataset["bam"])
+    _columns_equal(nat, orig)
+    write_crai(cram, fasta_path=dataset["fasta"])
+    cr = CramReader(cram, dataset["fasta"])
+    loci = [(b.ref_names[0], 0, 5000)]
+    offs = cr.containers_for_loci(loci)
+    assert offs is not None
+    data = cram_decode_native(cram, dataset["fasta"], offsets=offs)
+    nat2 = ColumnarBam(cram, bam_bytes=data)
+    assert nat2.n == sum(1 for _ in cr.records_for_containers(offs))

@@ -117,6 +117,63 @@ def test_sharded_step_invariant_to_pair_order(scrna_pairs):
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
 
 
+def test_sharded_step_routes_production_quad_protocol():
+    """VERDICT r3 #3: the multi-chip dryrun/step must exercise the
+    PRODUCTION dispatch — quad-chain kernel + fused int8 call codes —
+    not just the older compact path. Shapes chosen quad-feasible with a
+    256-multiple per-device batch; a spy asserts the quad entry really
+    ran, and merged counts must equal the single-device production
+    entry (sw_calls_pair_quad_tpu) aggregated on host."""
+    from vartrix_tpu.ops import sw_pallas_v2 as v2
+    from vartrix_tpu.ops.sw_pallas_v2 import quad_feasible, sw_calls_pair_quad_tpu
+
+    n_dev = len(jax.devices())
+    if n_dev < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    lx, ly = 16, 24
+    assert quad_feasible(lx, ly)
+    n_rows, n_cells = 6, 32
+    B = 256 * n_dev
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    xs = np.zeros((B, lx), np.uint8)
+    for i in range(B):
+        n = int(rng.integers(6, lx + 1))
+        xs[i, :n] = rng.choice(bases, n)
+    hap_mat = np.ones((2 * n_rows, ly), np.uint8)
+    hap_mat[:] = rng.choice(bases, size=(2 * n_rows, ly))
+    rows = rng.integers(0, n_rows, B).astype(np.int32)
+    for i in range(0, B, 2):  # embed half the reads for real REF calls
+        hap_mat[2 * rows[i], 3 : 3 + lx - 4] = xs[i, : lx - 4]
+    cells = rng.integers(0, n_cells, B).astype(np.int32)
+    ir = (2 * rows).astype(np.int32)
+    ia = (2 * rows + 1).astype(np.int32)
+    valid = np.ones(B, dtype=bool)
+
+    calls_spy = []
+    orig = v2._sw_pair_quad_calls
+
+    def spy(*a, **k):
+        calls_spy.append(1)
+        return orig(*a, **k)
+
+    v2._sw_pair_quad_calls = spy
+    try:
+        mesh = make_mesh()
+        step = build_sharded_step(mesh, n_rows, n_cells)
+        counts, n_reads = step(xs, hap_mat, ir, ia, rows, cells, valid)
+    finally:
+        v2._sw_pair_quad_calls = orig
+    assert calls_spy, "quad fused-calls entry did not run in the mesh step"
+    counts = np.asarray(counts)
+    assert int(np.asarray(n_reads)) == B
+
+    codes = sw_calls_pair_quad_tpu(xs, hap_mat, ir, ia)
+    exp = np.zeros((n_rows, n_cells, 4), np.int32)
+    np.add.at(exp, (rows, cells, codes.astype(np.int64)), 1)
+    np.testing.assert_array_equal(counts, exp)
+
+
 def test_device_calls_match_host():
     from vartrix_tpu.core.calls import evaluate_scores
 

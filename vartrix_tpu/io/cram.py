@@ -664,6 +664,89 @@ def enc_byte_array_len_ext(len_id: int, val_id: int) -> bytes:
     return write_itf8(C_BYTE_ARRAY_LEN) + write_itf8(len(p)) + p
 
 
+def enc_byte_array_len(len_enc: bytes, val_enc: bytes) -> bytes:
+    """BYTE_ARRAY_LEN with arbitrary nested length/value encodings
+    (already serialized as codec+len+params blobs)."""
+    p = len_enc + val_enc
+    return write_itf8(C_BYTE_ARRAY_LEN) + write_itf8(len(p)) + p
+
+
+def enc_huffman(lens_by_symbol: Dict[int, int]) -> bytes:
+    """Canonical HUFFMAN params: alphabet + code lengths (the decoders
+    reconstruct codes in (len, symbol) order — Encoding.__init__)."""
+    syms = sorted(lens_by_symbol)
+    p = write_itf8(len(syms)) + b"".join(write_itf8(s) for s in syms)
+    p += write_itf8(len(syms)) + b"".join(
+        write_itf8(lens_by_symbol[s]) for s in syms)
+    return write_itf8(C_HUFFMAN) + write_itf8(len(p)) + p
+
+
+def enc_beta(offset: int, nbits: int) -> bytes:
+    p = write_itf8(offset) + write_itf8(nbits)
+    return write_itf8(C_BETA) + write_itf8(len(p)) + p
+
+
+class BitWriter:
+    """MSB-first bit accumulator — the write twin of BitReader; feeds
+    the slice CORE block for HUFFMAN/BETA-coded data series."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write_bits(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.cur = (self.cur << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.cur)
+                self.cur = 0
+                self.nbits = 0
+
+    def getvalue(self) -> bytes:
+        if self.nbits:
+            return bytes(self.buf) + bytes([self.cur << (8 - self.nbits)])
+        return bytes(self.buf)
+
+
+def huffman_code_lengths(freqs: Dict[int, int]) -> Dict[int, int]:
+    """Code length per symbol from frequencies (standard Huffman merge);
+    a single-symbol alphabet gets length 0 (the spec's 0-bit case)."""
+    import heapq
+
+    if not freqs:
+        raise ValueError("empty alphabet")
+    if len(freqs) == 1:
+        return {next(iter(freqs)): 0}
+    heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items()))]
+    heapq.heapify(heap)
+    lens = {s: 0 for s in freqs}
+    tie = len(heap)
+    while len(heap) > 1:
+        f1, _, s1 = heapq.heappop(heap)
+        f2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            lens[s] += 1
+        heapq.heappush(heap, (f1 + f2, tie, s1 + s2))
+        tie += 1
+    return lens
+
+
+def canonical_codes(lens_by_symbol: Dict[int, int]) -> Dict[int, Tuple[int, int]]:
+    """symbol -> (len, code) with the decoders' canonical convention:
+    sequential codes assigned in (len, symbol) order."""
+    order = sorted(lens_by_symbol.items(), key=lambda kv: (kv[1], kv[0]))
+    codes: Dict[int, Tuple[int, int]] = {}
+    code, prev_len = 0, 0
+    for sym, l in order:
+        code <<= l - prev_len
+        codes[sym] = (l, code)
+        code += 1
+        prev_len = l
+    return codes
+
+
 # ---------------------------------------------------------------------------
 # compression header
 
@@ -1342,7 +1425,9 @@ def write_cram(path: str, refs: List[Tuple[str, int]], records,
                records_per_container: int = 10000,
                fasta_path: Optional[str] = None,
                block_method: str = "gzip",
-               embed_ref: bool = False) -> None:
+               embed_ref: bool = False,
+               codec_profile: str = "external",
+               slices_per_container: int = 1) -> None:
     """Write a CRAM 3.0 file from BamRecord-like objects (io/bam.py).
 
     Profile: multi-ref slices, absolute positions, read names preserved,
@@ -1360,6 +1445,12 @@ def write_cram(path: str, refs: List[Tuple[str, int]], records,
     carry their reference segment as an embedded block — the htslib
     "embedded reference" profile: such CRAMs decode with no external
     FASTA at all. Records are grouped by reference id.
+
+    codec_profile="mixed" swaps in htslib-style codecs (canonical
+    multi-symbol HUFFMAN, BETA positions, BYTE_ARRAY_LEN tags — core
+    bits) and slices_per_container>1 emits multi-slice containers; see
+    _write_data_container. Both exist to exercise the decoder paths
+    real htslib files use.
     """
     recs = list(records)
     ref_fetch = None
@@ -1394,15 +1485,18 @@ def write_cram(path: str, refs: List[Tuple[str, int]], records,
         for chunk in groups:
             out += _write_data_container(chunk, counter, ref_fetch,
                                          block_method,
-                                         slice_ref=chunk[0].tid)
+                                         slice_ref=chunk[0].tid,
+                                         codec_profile=codec_profile)
             counter += len(chunk)
     else:
         for cstart in range(0, max(len(recs), 1), records_per_container):
             chunk = recs[cstart : cstart + records_per_container]
             if not chunk and recs:
                 break
-            out += _write_data_container(chunk, cstart, ref_fetch,
-                                         block_method)
+            out += _write_data_container(
+                chunk, cstart, ref_fetch, block_method,
+                codec_profile=codec_profile,
+                slices_per_container=slices_per_container)
             if not recs:
                 break
     out += CRAM_EOF
@@ -1424,135 +1518,223 @@ def _container_header(length, ref_id, start, span, n_rec, counter, bases,
 
 def _write_data_container(chunk, counter, ref_fetch=None,
                           block_method: str = "gzip",
-                          slice_ref: int = -2) -> bytes:
-    streams: Dict[str, bytearray] = {k: bytearray() for k in _SERIES_IDS}
-    tag_streams: Dict[int, bytearray] = {}
-    tag_cids: Dict[int, int] = {}  # tkey -> content id (sequential, no collisions)
+                          slice_ref: int = -2,
+                          codec_profile: str = "external",
+                          slices_per_container: int = 1) -> bytes:
+    """One data container.
 
-    def tag_cid(tkey: int) -> int:
-        if tkey not in tag_cids:
-            tag_cids[tkey] = _TAG_ID_BASE + len(tag_cids)
-        return tag_cids[tkey]
+    codec_profile:
+      * "external" (default): every data series EXTERNAL — the simple
+        legal profile the engine has always written.
+      * "mixed": htslib-style codec mix — BF/RL/TL canonical HUFFMAN
+        (multi-symbol, bits in the CORE block), CF/RG single-symbol
+        HUFFMAN (0-bit), AP BETA-coded, CB tag BYTE_ARRAY_LEN with a
+        HUFFMAN length (core) + EXTERNAL values. Exercises the decoder
+        paths real htslib files use (/root/reference/src/main.rs:530-535
+        accepts arbitrary htslib CRAMs).
 
-    def wi(key, v):
-        streams[key] += write_itf8(v)
-
-    def wb(key, v):
-        streams[key].append(v)
-
-    def warr(key, b):
-        streams[key] += b + b"\x00"
-
-    # tag dictionary from the records' Z tags
+    slices_per_container > 1 splits the records into that many
+    contiguous slices sharing one compression header (the htslib
+    multi-slice layout; landmarks point at each slice header block).
+    Single-ref / embedded-ref containers (slice_ref >= 0) always use
+    one slice.
+    """
+    # ---- pre-pass: per-record tags, tag dictionary, TL indices --------
+    rec_tags_l = []
     tag_lines: List[bytes] = []
     line_index: Dict[bytes, int] = {}
-
-    def tag_line_for(rec_tags):
-        line = b"".join(t + b"Z" for t, _v in rec_tags)
-        if line not in line_index:
-            line_index[line] = len(tag_lines)
-            tag_lines.append(line)
-        return line_index[line]
-
-    n_bases = 0
+    tls: List[int] = []
     for rec in chunk:
         rec_tags = []
         for tag in (b"CB", b"UB"):
             v = rec.aux_string(tag)
             if v is not None:
                 rec_tags.append((tag, v))
-        # also preserve any other Z tags? (CB/UB are what the engine uses)
-        wi("BF", rec.flag)
-        wi("CF", CF_QS_STORED)
-        if slice_ref == -2:
-            wi("RI", rec.tid)
-        wi("RL", rec.l_seq)
-        wi("AP", rec.pos + 1)
-        wi("RG", -1 & 0xFFFFFFFF if False else 0)
-        warr("RN", rec.qname)
-        tl = tag_line_for(rec_tags)
-        wi("TL", tl)
-        for tag, v in rec_tags:
-            tkey = (tag[0] << 16) | (tag[1] << 8) | ord("Z")
-            ts = tag_streams.setdefault(tkey, bytearray())
-            ts += v + b"\x00"
-        seq = rec.seq_bytes()
-        n_bases += len(seq)
-        if not (rec.flag & 0x4):
-            feats = []
-            rp = 1
-            ref_p = rec.pos
-            for op, ln in rec.cigar:
-                if op in (0, 7, 8):
-                    if ref_fetch is not None:
-                        # reference-based: implicit matches + X substitutions
-                        refseq = ref_fetch(rec.tid, ref_p, ref_p + ln)
-                        run = seq[rp - 1 : rp - 1 + ln]
-                        for k in range(ln):
-                            rb = refseq[k] if k < len(refseq) else 0
-                            if k >= len(refseq) or run[k] != rb:
-                                # substitution code from the default SM
-                                # matrix (codes 0..3 over ACGTN \ ref)
-                                bases = b"ACGTN"
-                                ri_ = bases.index(rb) if rb in bases else 4
-                                alts = [x for x in bases if x != bases[ri_]]
-                                code = alts.index(run[k]) if run[k] in alts else None
-                                if code is None:
-                                    feats.append(("B", rp + k, run[k]))
-                                else:
-                                    feats.append(("X", rp + k, code))
-                        ref_p += ln
-                    else:
-                        feats.append(("b", rp, seq[rp - 1 : rp - 1 + ln]))
-                    rp += ln
-                elif op == 1:
-                    feats.append(("I", rp, seq[rp - 1 : rp - 1 + ln]))
-                    rp += ln
-                elif op == 4:
-                    feats.append(("S", rp, seq[rp - 1 : rp - 1 + ln]))
-                    rp += ln
-                elif op == 2:
-                    feats.append(("D", rp, ln))
-                    ref_p += ln
-                elif op == 3:
-                    feats.append(("N", rp, ln))
-                    ref_p += ln
-                elif op == 5:
-                    feats.append(("H", rp, ln))
-                elif op == 6:
-                    feats.append(("P", rp, ln))
-            wi("FN", len(feats))
-            prev = 0
-            for c, fp, payload in feats:
-                wb("FC", ord(c))
-                wi("FP", fp - prev)
-                prev = fp
-                if c == "b":
-                    warr("BB", payload)
-                elif c == "X":
-                    wb("BS", payload)
-                elif c == "B":
-                    wb("BA", payload)
-                    wb("QS", 30)
-                elif c == "I":
-                    warr("IN", payload)
-                elif c == "S":
-                    warr("SC", payload)
-                elif c == "D":
-                    wi("DL", payload)
-                elif c == "N":
-                    wi("RS", payload)
-                elif c == "H":
-                    wi("HC", payload)
-                elif c == "P":
-                    wi("PD", payload)
-            wi("MQ", rec.mapq)
-            streams["QS"] += b"\x1e" * rec.l_seq
-        else:
-            streams["BA"] += seq
-            streams["QS"] += b"\x1e" * rec.l_seq
+        rec_tags_l.append(rec_tags)
+        line = b"".join(t + b"Z" for t, _v in rec_tags)
+        if line not in line_index:
+            line_index[line] = len(tag_lines)
+            tag_lines.append(line)
+        tls.append(line_index[line])
 
-    # compression header
+    tag_cids: Dict[int, int] = {}  # tkey -> content id (record order)
+
+    def tag_cid(tkey: int) -> int:
+        if tkey not in tag_cids:
+            tag_cids[tkey] = _TAG_ID_BASE + len(tag_cids)
+        return tag_cids[tkey]
+
+    for rec_tags in rec_tags_l:
+        for tag, _v in rec_tags:
+            tag_cid((tag[0] << 16) | (tag[1] << 8) | ord("Z"))
+
+    # ---- mixed profile: build core-bit code tables --------------------
+    huff: Dict[str, Dict[int, Tuple[int, int]]] = {}
+    huff_lens: Dict[str, Dict[int, int]] = {}
+    beta: Dict[str, Tuple[int, int]] = {}
+    cb_len_codes = None
+    cb_len_lens: Dict[int, int] = {}
+    if codec_profile == "mixed" and chunk:
+        from collections import Counter
+
+        def add_huff(key, freqs):
+            huff_lens[key] = huffman_code_lengths(freqs)
+            huff[key] = canonical_codes(huff_lens[key])
+
+        add_huff("BF", Counter(r.flag for r in chunk))
+        add_huff("RL", Counter(r.l_seq for r in chunk))
+        add_huff("CF", {CF_QS_STORED: 1})   # single-symbol -> 0 bits
+        add_huff("RG", {0: 1})
+        add_huff("TL", Counter(tls))
+        max_ap = max((r.pos + 1 for r in chunk), default=0)
+        beta["AP"] = (0, max(1, int(max_ap).bit_length()))
+        cb_freqs = Counter(len(v) for rt in rec_tags_l
+                           for t, v in rt if t == b"CB")
+        if cb_freqs:
+            cb_len_lens = huffman_code_lengths(cb_freqs)
+            cb_len_codes = canonical_codes(cb_len_lens)
+    elif codec_profile != "external" and codec_profile != "mixed":
+        raise ValueError(f"unknown codec_profile {codec_profile!r}")
+
+    CB_TKEY = (ord("C") << 16) | (ord("B") << 8) | ord("Z")
+
+    # ---- serialize one slice ------------------------------------------
+    def build_slice(sub, tls_sub, tags_sub):
+        streams: Dict[str, bytearray] = {k: bytearray() for k in _SERIES_IDS}
+        tag_streams: Dict[int, bytearray] = {}
+        core = BitWriter()
+
+        def wi(key, v):
+            if key in huff:
+                l, code = huff[key][v]
+                if l:
+                    core.write_bits(code, l)
+            elif key in beta:
+                boff, nb = beta[key]
+                core.write_bits(v + boff, nb)
+            else:
+                streams[key] += write_itf8(v)
+
+        def wb(key, v):
+            streams[key].append(v)
+
+        def warr(key, b):
+            streams[key] += b + b"\x00"
+
+        n_bases = 0
+        for rec, tl, rec_tags in zip(sub, tls_sub, tags_sub):
+            wi("BF", rec.flag)
+            wi("CF", CF_QS_STORED)
+            if slice_ref == -2:
+                wi("RI", rec.tid)
+            wi("RL", rec.l_seq)
+            wi("AP", rec.pos + 1)
+            wi("RG", 0)
+            warr("RN", rec.qname)
+            wi("TL", tl)
+            for tag, v in rec_tags:
+                tkey = (tag[0] << 16) | (tag[1] << 8) | ord("Z")
+                ts = tag_streams.setdefault(tkey, bytearray())
+                if cb_len_codes is not None and tkey == CB_TKEY:
+                    # BYTE_ARRAY_LEN: HUFFMAN length (core) + raw bytes
+                    l, code = cb_len_codes[len(v)]
+                    if l:
+                        core.write_bits(code, l)
+                    ts += v
+                else:
+                    ts += v + b"\x00"
+            seq = rec.seq_bytes()
+            n_bases += len(seq)
+            if not (rec.flag & 0x4):
+                feats = []
+                rp = 1
+                ref_p = rec.pos
+                for op, ln in rec.cigar:
+                    if op in (0, 7, 8):
+                        if ref_fetch is not None:
+                            # reference-based: implicit matches + X subs
+                            refseq = ref_fetch(rec.tid, ref_p, ref_p + ln)
+                            run = seq[rp - 1 : rp - 1 + ln]
+                            for k in range(ln):
+                                rb = refseq[k] if k < len(refseq) else 0
+                                if k >= len(refseq) or run[k] != rb:
+                                    # substitution code from the default
+                                    # SM matrix (codes 0..3, ACGTN \ ref)
+                                    bases = b"ACGTN"
+                                    ri_ = bases.index(rb) if rb in bases else 4
+                                    alts = [x for x in bases
+                                            if x != bases[ri_]]
+                                    code = (alts.index(run[k])
+                                            if run[k] in alts else None)
+                                    if code is None:
+                                        feats.append(("B", rp + k, run[k]))
+                                    else:
+                                        feats.append(("X", rp + k, code))
+                            ref_p += ln
+                        else:
+                            feats.append(("b", rp, seq[rp - 1 : rp - 1 + ln]))
+                        rp += ln
+                    elif op == 1:
+                        feats.append(("I", rp, seq[rp - 1 : rp - 1 + ln]))
+                        rp += ln
+                    elif op == 4:
+                        feats.append(("S", rp, seq[rp - 1 : rp - 1 + ln]))
+                        rp += ln
+                    elif op == 2:
+                        feats.append(("D", rp, ln))
+                        ref_p += ln
+                    elif op == 3:
+                        feats.append(("N", rp, ln))
+                        ref_p += ln
+                    elif op == 5:
+                        feats.append(("H", rp, ln))
+                    elif op == 6:
+                        feats.append(("P", rp, ln))
+                wi("FN", len(feats))
+                prev = 0
+                for c, fp, payload in feats:
+                    wb("FC", ord(c))
+                    wi("FP", fp - prev)
+                    prev = fp
+                    if c == "b":
+                        warr("BB", payload)
+                    elif c == "X":
+                        wb("BS", payload)
+                    elif c == "B":
+                        wb("BA", payload)
+                        wb("QS", 30)
+                    elif c == "I":
+                        warr("IN", payload)
+                    elif c == "S":
+                        warr("SC", payload)
+                    elif c == "D":
+                        wi("DL", payload)
+                    elif c == "N":
+                        wi("RS", payload)
+                    elif c == "H":
+                        wi("HC", payload)
+                    elif c == "P":
+                        wi("PD", payload)
+                wi("MQ", rec.mapq)
+                streams["QS"] += b"\x1e" * rec.l_seq
+            else:
+                streams["BA"] += seq
+                streams["QS"] += b"\x1e" * rec.l_seq
+        return streams, tag_streams, core, n_bases
+
+    # ---- split records into slices ------------------------------------
+    k = 1 if slice_ref >= 0 else max(1, int(slices_per_container))
+    if chunk and k > 1:
+        per = (len(chunk) + k - 1) // k
+        parts = [(chunk[i : i + per], tls[i : i + per],
+                  rec_tags_l[i : i + per])
+                 for i in range(0, len(chunk), per)]
+    else:
+        parts = [(chunk, tls, rec_tags_l)]
+
+    built = [build_slice(*p) for p in parts]
+
+    # ---- compression header (shared across slices) --------------------
     pres = bytearray()
     pres += b"RN" + b"\x01"
     pres += b"AP" + b"\x00"
@@ -1563,13 +1745,21 @@ def _write_data_container(chunk, counter, ref_fetch=None,
     pres_full = write_itf8(5) + pres  # nkeys=5
     pres_block = write_itf8(len(pres_full)) + pres_full
 
+    used = set()
+    for streams, _ts, _core, _nb in built:
+        used.update(key for key in _SERIES_IDS if streams[key])
+
     enc_entries = bytearray()
     n_enc = 0
     for key, sid in _SERIES_IDS.items():
-        if not streams[key] and key not in ("FN",):
+        if key not in used and key not in ("FN",):
             if key not in ("BF", "CF", "RI", "RL", "AP", "RG", "TL"):
                 continue
-        if key in ("RN", "BB", "QQ", "IN", "SC"):
+        if key in huff:
+            enc = enc_huffman(huff_lens[key])
+        elif key in beta:
+            enc = enc_beta(*beta[key])
+        elif key in ("RN", "BB", "QQ", "IN", "SC"):
             enc = enc_byte_array_stop(0, sid)
         else:
             enc = enc_external(sid)
@@ -1579,66 +1769,88 @@ def _write_data_container(chunk, counter, ref_fetch=None,
     enc_block = write_itf8(len(enc_full)) + enc_full
 
     tag_entries = bytearray()
-    for tkey in tag_streams:
-        tag_entries += write_itf8(tkey) + enc_byte_array_stop(0, tag_cid(tkey))
-    tag_full = write_itf8(len(tag_streams)) + tag_entries
+    for tkey, cid in tag_cids.items():
+        if cb_len_codes is not None and tkey == CB_TKEY:
+            tag_entries += write_itf8(tkey) + enc_byte_array_len(
+                enc_huffman(cb_len_lens), enc_external(cid))
+        else:
+            tag_entries += write_itf8(tkey) + enc_byte_array_stop(0, cid)
+    tag_full = write_itf8(len(tag_cids)) + tag_entries
     tag_block = write_itf8(len(tag_full)) + tag_full
 
     ch_block = write_block(Block(0, CT_COMP_HEADER, 0,
                                  bytes(pres_block + enc_block + tag_block)))
 
-    # slice: header + external blocks
-    data_blocks = []
-    content_ids = []
-    for key, sid in _SERIES_IDS.items():
-        if streams[key]:
-            data_blocks.append(write_block(Block(0, CT_EXTERNAL, sid,
-                                                 bytes(streams[key])),
+    # ---- slices: header + core + external blocks ----------------------
+    slice_bufs = []
+    n_blocks_total = 1  # comp header
+    total_bases = 0
+    c_start0, c_span = 0, 0
+    sub_counter = counter
+    for (sub, _tls_sub, _tags_sub), (streams, tag_streams, core, n_bases) \
+            in zip(parts, built):
+        data_blocks = []
+        content_ids = []
+        for key, sid in _SERIES_IDS.items():
+            if streams[key]:
+                data_blocks.append(write_block(Block(0, CT_EXTERNAL, sid,
+                                                     bytes(streams[key])),
+                                               method_hint=block_method))
+                content_ids.append(sid)
+        for tkey, ts in tag_streams.items():
+            cid = tag_cids[tkey]
+            data_blocks.append(write_block(Block(0, CT_EXTERNAL, cid,
+                                                 bytes(ts)),
                                            method_hint=block_method))
-            content_ids.append(sid)
-    for tkey, ts in tag_streams.items():
-        cid = tag_cid(tkey)
-        data_blocks.append(write_block(Block(0, CT_EXTERNAL, cid, bytes(ts)),
-                                       method_hint=block_method))
-        content_ids.append(cid)
-    core_block = write_block(Block(0, CT_CORE, 0, b""), compress=False)
+            content_ids.append(cid)
+        core_block = write_block(Block(0, CT_CORE, 0, core.getvalue()),
+                                 compress=False)
 
-    s_start0, s_span, emb_ref_id = 0, 0, -1
-    if slice_ref >= 0 and chunk:
-        s_start0 = min(r.pos for r in chunk)
-        s_end = max(r.endpos() for r in chunk)
-        s_span = max(s_end - s_start0, 0)
-        if ref_fetch is not None:
-            # embedded reference: the slice's ref segment ships in-band
-            EMB_CID = 99
-            emb = ref_fetch(slice_ref, s_start0, s_end)
-            data_blocks.append(write_block(
-                Block(0, CT_EXTERNAL, EMB_CID, bytes(emb)),
-                method_hint=block_method))
-            content_ids.append(EMB_CID)
-            emb_ref_id = EMB_CID
+        s_start0, s_span, emb_ref_id = 0, 0, -1
+        if slice_ref >= 0 and sub:
+            s_start0 = min(r.pos for r in sub)
+            s_end = max(r.endpos() for r in sub)
+            s_span = max(s_end - s_start0, 0)
+            c_start0, c_span = s_start0, s_span
+            if ref_fetch is not None:
+                # embedded reference: the slice's ref segment in-band
+                EMB_CID = 99
+                emb = ref_fetch(slice_ref, s_start0, s_end)
+                data_blocks.append(write_block(
+                    Block(0, CT_EXTERNAL, EMB_CID, bytes(emb)),
+                    method_hint=block_method))
+                content_ids.append(EMB_CID)
+                emb_ref_id = EMB_CID
 
-    shdr = bytearray()
-    shdr += write_itf8(slice_ref)   # -2 = multi-ref slice
-    shdr += write_itf8(s_start0 + 1 if slice_ref >= 0 else 0)
-    shdr += write_itf8(s_span)
-    shdr += write_itf8(len(chunk))  # n_records
-    shdr += write_ltf8(counter)
-    shdr += write_itf8(1 + len(data_blocks))  # core + externals
-    shdr += write_itf8(len(content_ids))
-    for cid in content_ids:
-        shdr += write_itf8(cid)
-    shdr += write_itf8(emb_ref_id)
-    shdr += b"\x00" * 16            # md5
-    slice_hdr_block = write_block(Block(0, CT_SLICE_HEADER, 0, bytes(shdr)))
+        shdr = bytearray()
+        shdr += write_itf8(slice_ref)   # -2 = multi-ref slice
+        shdr += write_itf8(s_start0 + 1 if slice_ref >= 0 else 0)
+        shdr += write_itf8(s_span)
+        shdr += write_itf8(len(sub))    # n_records
+        shdr += write_ltf8(sub_counter)
+        shdr += write_itf8(1 + len(data_blocks))  # core + externals
+        shdr += write_itf8(len(content_ids))
+        for cid in content_ids:
+            shdr += write_itf8(cid)
+        shdr += write_itf8(emb_ref_id)
+        shdr += b"\x00" * 16           # md5
+        slice_hdr_block = write_block(Block(0, CT_SLICE_HEADER, 0,
+                                            bytes(shdr)))
+        slice_bufs.append(slice_hdr_block + core_block
+                          + b"".join(data_blocks))
+        n_blocks_total += 2 + len(data_blocks)
+        total_bases += n_bases
+        sub_counter += len(sub)
 
-    blocks = ch_block + slice_hdr_block + core_block + b"".join(data_blocks)
+    blocks = ch_block + b"".join(slice_bufs)
     landmarks = [len(ch_block)]
+    for sb in slice_bufs[:-1]:
+        landmarks.append(landmarks[-1] + len(sb))
     cont = _container_header(len(blocks), ref_id=slice_ref,
-                             start=s_start0 + 1 if slice_ref >= 0 else 0,
-                             span=s_span,
+                             start=c_start0 + 1 if slice_ref >= 0 else 0,
+                             span=c_span,
                              n_rec=len(chunk), counter=counter,
-                             bases=n_bases, n_blocks=3 + len(data_blocks),
+                             bases=total_bases, n_blocks=n_blocks_total,
                              landmarks=landmarks)
     return cont + blocks
 

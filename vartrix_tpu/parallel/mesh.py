@@ -44,17 +44,29 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
 def _local_step_pallas(x_u8, hap_mat, idx_ref, idx_alt, rows, cells, valid,
                        *, n_rows, n_cells, lx, ly, interpret):
     """Per-device shard computation on the PRODUCTION kernel path: the
-    CHAINED-PAIR Pallas wavefront (each lane scores one read against its
-    ref++alt haplotypes in one sweep — the round-3 production kernel)
+    QUAD-CHAIN Pallas wavefront with fused on-device call codes (the
+    round-3 production dispatch, `.pair_calls_chained` routing quad v6)
     scores the shard's reads, then calls -> partial counts -> psum
-    merge."""
-    from ..ops.sw_pallas_v2 import _sw_pair_chained
+    merge. Falls back to the v5 chained-pair kernel + separate call
+    reduction exactly like the single-chip dispatcher when the quad
+    phase windows overlap (quad_feasible) or VARTRIX_QUAD=0."""
+    import os
+
+    from ..ops.sw_pallas_v2 import (_sw_pair_chained, _sw_pair_quad_calls,
+                                    quad_feasible)
 
     R = x_u8.shape[0]
     idx2 = jnp.stack([idx_ref, idx_alt], axis=1).reshape(2 * R)
-    scores = _sw_pair_chained(x_u8, hap_mat, idx2, lx=lx, ly=ly,
-                              interpret=interpret)
-    calls = device_agg.calls_from_scores(scores[0], scores[1])
+    use_quad = (quad_feasible(lx, ly)
+                and os.environ.get("VARTRIX_QUAD", "1") != "0"
+                and R % 256 == 0)  # quad packs 2 reads/lane
+    if use_quad:
+        calls = _sw_pair_quad_calls(x_u8, hap_mat, idx2, lx=lx, ly=ly,
+                                    interpret=interpret).astype(jnp.int32)
+    else:
+        scores = _sw_pair_chained(x_u8, hap_mat, idx2, lx=lx, ly=ly,
+                                  interpret=interpret)
+        calls = device_agg.calls_from_scores(scores[0], scores[1])
     counts = device_agg.count_block(calls, rows, cells, valid, n_rows, n_cells)
     counts = jax.lax.psum(counts, AXIS)
     n_reads = jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), AXIS)
