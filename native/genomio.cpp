@@ -964,6 +964,55 @@ void gio_gather_padded(const uint8_t* pool, const int64_t* seq_off,
   });
 }
 
+// Packed padded gather: like gio_gather_padded but emits 4-bit codes
+// (two bases per byte, high nibble first — the BAM SEQ layout) plus the
+// per-row byte length. Read sequences come from BAM's 16-symbol nibble
+// alphabet, so the pack is lossless; the device unpacks via a 16-entry
+// table before the SW kernel. Halves the host->device read transfer,
+// which dominates the score phase through the TPU relay.
+// Returns 0 on success, -1 if any pool byte is outside the SEQ_NT16
+// alphabet (caller falls back to the unpacked path).
+int32_t gio_gather_padded_packed(const uint8_t* pool, const int64_t* seq_off,
+                                 const int64_t* read_ids, int64_t n,
+                                 int32_t lx, uint8_t* out, int32_t* lens,
+                                 int n_threads) {
+  static uint8_t lut[256];
+  static bool lut_init = false;
+  if (!lut_init) {
+    memset(lut, 0xFF, sizeof lut);
+    for (int i = 0; i < 16; ++i) lut[(uint8_t)SEQ_NT16[i]] = (uint8_t)i;
+    lut_init = true;
+  }
+  int32_t half = lx / 2;
+  std::atomic<int32_t> bad{0};
+  parallel_chunks(n, n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      int64_t r = read_ids[i];
+      int64_t s = seq_off[r];
+      int64_t len = seq_off[r + 1] - s;
+      if (len > lx) len = lx;
+      lens[i] = (int32_t)len;
+      uint8_t* dst = out + i * (int64_t)half;
+      int64_t k = 0;
+      for (; k + 1 < len; k += 2) {
+        uint8_t a = lut[pool[s + k]], b = lut[pool[s + k + 1]];
+        if ((a | b) & 0xF0) { bad.store(1); return; }
+        dst[k >> 1] = (uint8_t)((a << 4) | b);
+      }
+      if (k < len) {
+        uint8_t a = lut[pool[s + k]];
+        if (a & 0xF0) { bad.store(1); return; }
+        dst[k >> 1] = (uint8_t)(a << 4);
+        ++k;
+      }
+      if ((k >> 1) < half)
+        memset(dst + (k >> 1) + ((k & 1) ? 1 : 0), 0,
+               (size_t)(half - (k >> 1) - ((k & 1) ? 1 : 0)));
+    }
+  });
+  return bad.load() ? -1 : 0;
+}
+
 // ---- Aux-tag value mapping ----------------------------------------------
 //
 // The collect phase maps every record's CB tag to a barcode-list index

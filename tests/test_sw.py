@@ -295,31 +295,56 @@ def test_chained_pair_kernel_random_indel_heavy():
     np.testing.assert_array_equal(got, exp)
 
 
-def test_packed_pair_calls_match_unpacked():
-    # 4-bit packed read transfer must be lossless for NT16-alphabet reads
-    # (incl. pad and 'N'), matching the unpacked fused-calls entry
-    from vartrix_tpu.ops.sw_pallas_v2 import (
-        sw_calls_pair_chained_packed_tpu, sw_calls_pair_chained_tpu)
+def test_packed_pair_calls_match_unpacked(monkeypatch):
+    # 4-bit packed read transfer (round-4 protocol: pack-in-gather +
+    # length sidecar + device _unpack4) must be BYTE-EXACT for the full
+    # NT16 alphabet — including '=', which unpacks back to '=' rather
+    # than sharing the pad code — matching the unpacked entries on both
+    # the v5 chained and the quad dispatchers.
+    from vartrix_tpu.ops.sw_pallas_v2 import (SEQ_NT16_TBL,
+                                              sw_calls_pair_chained_tpu,
+                                              sw_calls_pair_quad_tpu)
 
     rng = np.random.default_rng(29)
-    R, H, lx, ly = 256, 24, 33, 48  # odd lx exercises the pad nibble
+    R, H, lx, ly = 256, 24, 32, 48
     alphabet = np.frombuffer(b"ACGTN=MRSVWYHKDB", np.uint8)
     x = np.zeros((R, lx), np.uint8)
+    lens = np.zeros(R, np.int32)
     for i in range(R):
         n = int(rng.integers(1, lx + 1))
         x[i, :n] = rng.choice(alphabet, n)
+        lens[i] = n
     haps = rng.integers(65, 91, size=(H, ly), dtype=np.uint8)
     for i in range(0, R, 5):
         emb = x[i, : lx - 4].copy()
-        # haplotypes come from FASTA and never contain '=' or pad bytes —
-        # the invariant that makes '='-to-pad code sharing lossless
-        emb[(emb == ord("=")) | (emb == 0)] = ord("A")
+        emb[emb == 0] = ord("A")
         haps[i % H, 2 : 2 + lx - 4] = emb
     idx_ref = rng.integers(0, H, size=R).astype(np.int32)
     idx_alt = rng.integers(0, H, size=R).astype(np.int32)
-    got = sw_calls_pair_chained_packed_tpu(x, haps, idx_ref, idx_alt)
-    exp = sw_calls_pair_chained_tpu(x, haps, idx_ref, idx_alt)
-    np.testing.assert_array_equal(got, exp)
+
+    byte_to_code = np.full(256, 255, np.uint8)
+    for c, b in enumerate(SEQ_NT16_TBL):
+        byte_to_code[b] = c
+
+    def provider(start, n):
+        return x[start : start + n]
+
+    def packed(start, n):
+        rows = x[start : start + n]
+        codes = byte_to_code[rows]
+        codes[np.arange(lx)[None, :] >= lens[start : start + n, None]] = 0
+        return ((codes[:, 0::2] << 4) | codes[:, 1::2],
+                lens[start : start + n])
+
+    provider.shape = x.shape
+    provider.packed = packed
+
+    for fn in (sw_calls_pair_chained_tpu, sw_calls_pair_quad_tpu):
+        monkeypatch.setenv("VARTRIX_PACK4", "0")
+        exp = fn(x, haps, idx_ref, idx_alt)
+        monkeypatch.setenv("VARTRIX_PACK4", "1")
+        got = fn(provider, haps, idx_ref, idx_alt)
+        np.testing.assert_array_equal(got, exp)
 
 
 def test_quad_chain_kernel_matches_oracle():

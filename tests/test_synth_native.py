@@ -212,3 +212,45 @@ def test_native_tag_maps_match_python(tmp_path):
             if x < 0:
                 continue
             assert m.setdefault(x, y) == y  # bijective grouping
+
+
+def test_packed_transfer_matches_unpacked(tmp_path, monkeypatch):
+    """4-bit packed read transfer (gio_gather_padded_packed + device
+    _unpack4): call codes through the production dispatchers must be
+    IDENTICAL with and without packing, via the fast-pipeline provider."""
+    from vartrix_tpu.core.fast_pipeline import _read_provider, gather_reads
+    from vartrix_tpu.io.bam_native import (ColumnarBam, gather_padded_packed,
+                                           native_available)
+    from vartrix_tpu.ops.sw_pallas_v2 import (sw_calls_pair_chained_tpu,
+                                              sw_calls_pair_quad_tpu)
+    from vartrix_tpu.utils.synth import SynthConfig, generate_dataset
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    data = generate_dataset(str(tmp_path / "p"), SynthConfig(
+        seed=43, n_variants=10, n_cells=40, reads_per_variant=30,
+        spliced_frac=0.4))
+    cbam = ColumnarBam(data["bam"])
+    rng = np.random.default_rng(1)
+    rows = rng.integers(0, cbam.n, 300).astype(np.int64)
+    lx, ly = 32, 48  # quad-feasible; reads truncate to 32 bases
+    if gather_padded_packed(cbam.seq_pool, cbam.seq_off, rows[:4], lx) is None:
+        pytest.skip("packed gather unavailable")
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    haps = rng.choice(bases, size=(16, ly)).astype(np.uint8)
+    xu = gather_reads(cbam, rows, lx)
+    for i in range(0, len(rows), 2):  # embed >= MIN_SCORE bases
+        haps[i % 16, 2 : 2 + lx - 4] = xu[i, : lx - 4]
+    idx_ref = rng.integers(0, 16, len(rows)).astype(np.int32)
+    idx_alt = rng.integers(0, 16, len(rows)).astype(np.int32)
+
+    prov = _read_provider(cbam, rows, lx)
+    assert callable(prov) and getattr(prov, "packed", None) is not None
+
+    for fn in (sw_calls_pair_quad_tpu, sw_calls_pair_chained_tpu):
+        monkeypatch.setenv("VARTRIX_PACK4", "1")
+        got = fn(prov, haps, idx_ref, idx_alt)
+        monkeypatch.setenv("VARTRIX_PACK4", "0")
+        exp = fn(prov, haps, idx_ref, idx_alt)
+        np.testing.assert_array_equal(got, exp)
+        assert set(np.unique(exp)) - {0} != set()  # non-trivial codes

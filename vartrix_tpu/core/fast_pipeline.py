@@ -195,9 +195,20 @@ def _read_provider(cbam: ColumnarBam, rows: np.ndarray, lx: int):
     dispatcher can gather chunk k+1 on host while chunk k computes on
     device, never materializing the whole bucket."""
     if os.environ.get("VARTRIX_STREAM_GATHER", "1") != "0":
+        from ..io.bam_native import gather_padded_packed, native_available
+
         def x(start, n, rows=rows, lx=lx):
             return gather_reads(cbam, rows[start : start + n], lx)
         x.shape = (len(rows), lx)
+        if native_available():
+            # packed-transfer protocol: the dispatcher ships 4-bit codes
+            # + lengths (half the host->device read bytes) and unpacks
+            # on device; None (odd lx / foreign alphabet) falls back
+            def xp(start, n, rows=rows, lx=lx):
+                return gather_padded_packed(
+                    cbam.seq_pool, cbam.seq_off,
+                    rows[start : start + n], lx)
+            x.packed = xp
         return x
     return gather_reads(cbam, rows, lx)
 

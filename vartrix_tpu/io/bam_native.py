@@ -91,6 +91,13 @@ def get_lib() -> ctypes.CDLL:
             pass
         i32p_ = ctypes.POINTER(ctypes.c_int32)
         try:
+            lib.gio_gather_padded_packed.restype = ctypes.c_int32
+            lib.gio_gather_padded_packed.argtypes = [
+                u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int32, u8p,
+                i32p_, ctypes.c_int]
+        except AttributeError:
+            pass
+        try:
             lib.gio_tag_lookup.restype = None
             lib.gio_tag_lookup.argtypes = [
                 u8p, i64p, ctypes.c_int64, u8p, i64p, ctypes.c_int64,
@@ -196,6 +203,38 @@ def gather_padded(seq_pool: np.ndarray, seq_off: np.ndarray,
         ctypes.c_int32(lx), out.ctypes.data_as(u8p),
         ctypes.c_int(n_threads))
     return out
+
+
+def gather_padded_packed(seq_pool: np.ndarray, seq_off: np.ndarray,
+                         read_ids: np.ndarray, lx: int,
+                         n_threads: int = 0):
+    """Threaded native packed gather: ([n, lx//2] uint8 4-bit codes, two
+    bases per byte high-nibble first, [n] int32 lengths) — or None when
+    unavailable, lx is odd, or a pool byte falls outside the BAM
+    16-symbol alphabet (caller falls back to the unpacked path)."""
+    lib = get_lib()
+    if not hasattr(lib, "gio_gather_padded_packed") or lx % 2:
+        return None
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    read_ids = np.ascontiguousarray(read_ids, dtype=np.int64)
+    out = np.empty((len(read_ids), lx // 2), dtype=np.uint8)
+    lens = np.empty(len(read_ids), dtype=np.int32)
+    if len(read_ids) == 0:
+        return out, lens
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    pool = np.ascontiguousarray(seq_pool, dtype=np.uint8)
+    off = np.ascontiguousarray(seq_off, dtype=np.int64)
+    rc = lib.gio_gather_padded_packed(
+        pool.ctypes.data_as(u8p), off.ctypes.data_as(i64p),
+        read_ids.ctypes.data_as(i64p), ctypes.c_int64(len(read_ids)),
+        ctypes.c_int32(lx), out.ctypes.data_as(u8p),
+        lens.ctypes.data_as(i32p), ctypes.c_int(n_threads))
+    if rc != 0:
+        return None
+    return out, lens
 
 
 def native_available() -> bool:

@@ -780,10 +780,53 @@ def _sw_pair_chained_calls(x_u8: jax.Array, hap_mat: jax.Array,
     return jnp.where(dropped, 0, code).astype(jnp.int8)
 
 
-def _pair_chunks(x, hap_mat, idx_ref, idx_alt, entry, unroll):
+# BAM SEQ nibble -> ASCII (the exact bytes the unpacked pool holds); the
+# packed transfer protocol ships 4-bit codes and rebuilds these bytes on
+# device, so scores stay raw-byte identical to the unpacked path.
+SEQ_NT16_TBL = np.frombuffer(b"=ACMGRSVTWYHKDBN", np.uint8).copy()
+
+
+def _unpack4(xp: jax.Array, xlen: jax.Array, lx: int) -> jax.Array:
+    """[R, lx//2] packed nibbles (high nibble first) + [R] lengths ->
+    [R, lx] uint8 SEQ_NT16 bytes, positions >= len set to the kernel
+    read pad byte 0. Runs inside the jitted entry so the host->device
+    read transfer is halved; XLA fuses the unpack into the input path."""
+    R = xp.shape[0]
+    hi = (xp >> 4).astype(jnp.int32)
+    lo = (xp & 15).astype(jnp.int32)
+    inter = jnp.stack([hi, lo], axis=-1).reshape(R, lx)
+    x = jnp.asarray(SEQ_NT16_TBL)[inter]
+    mask = jax.lax.broadcasted_iota(jnp.int32, (R, lx), 1) < xlen[:, None]
+    return jnp.where(mask, x, jnp.uint8(0))
+
+
+@functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
+def _sw_pair_chained_calls_packed(xp: jax.Array, xlen: jax.Array,
+                                  hap_mat: jax.Array, idx2: jax.Array,
+                                  *, lx: int, ly: int, interpret: bool,
+                                  unroll: int = UNROLL_DEFAULT) -> jax.Array:
+    """Packed-transfer flavor of _sw_pair_chained_calls."""
+    x = _unpack4(xp, xlen, lx)
+    return _sw_pair_chained_calls(x, hap_mat, idx2, lx=lx, ly=ly,
+                                  interpret=interpret, unroll=unroll)
+
+
+def _pack4_enabled(x, packed_entry) -> bool:
+    return (packed_entry is not None and callable(x)
+            and getattr(x, "packed", None) is not None
+            and x.shape[1] % 2 == 0
+            and os.environ.get("VARTRIX_PACK4", "1") != "0")
+
+
+def _pair_chunks(x, hap_mat, idx_ref, idx_alt, entry, unroll,
+                 packed_entry=None):
     """Shared chunking for the chained-pair entries: each chunk ships
-    R read rows (one lane per read) + interleaved hap indices."""
+    R read rows (one lane per read) + interleaved hap indices. When the
+    read source offers a packed gather (fast_pipeline provider) and a
+    packed entry exists, reads ship as 4-bit codes + lengths (half the
+    transfer); falls back per-call if the packed gather declines."""
     provider = callable(x)
+    packed = _pack4_enabled(x, packed_entry)
     R, lx = x.shape
     ly = hap_mat.shape[1]
     interpret = not _on_tpu()
@@ -794,14 +837,27 @@ def _pair_chunks(x, hap_mat, idx_ref, idx_alt, entry, unroll):
     while start < R:
         n = min(half, R - start)
         bp = max(_quantized_batch(2 * n) // 2, LANES)
-        xc = np.zeros((bp, lx), dtype=np.uint8)
-        xc[:n] = x(start, n) if provider else x[start : start + n]
         idx2 = np.zeros(2 * bp, dtype=np.int32)
         idx2[0 : 2 * n : 2] = idx_ref[start : start + n]
         idx2[1 : 2 * n : 2] = idx_alt[start : start + n]
-        results.append(entry(jnp.asarray(xc), hap_dev, jnp.asarray(idx2),
-                             lx=lx, ly=ly, interpret=interpret,
-                             unroll=unroll))
+        got = x.packed(start, n) if packed else None
+        if got is not None:
+            xg, lg = got
+            xc = np.zeros((bp, lx // 2), dtype=np.uint8)
+            xc[:n] = xg
+            xl = np.zeros(bp, dtype=np.int32)
+            xl[:n] = lg
+            results.append(packed_entry(
+                jnp.asarray(xc), jnp.asarray(xl), hap_dev,
+                jnp.asarray(idx2), lx=lx, ly=ly, interpret=interpret,
+                unroll=unroll))
+        else:
+            packed = False  # alphabet fallback: stay unpacked from here
+            xc = np.zeros((bp, lx), dtype=np.uint8)
+            xc[:n] = x(start, n) if provider else x[start : start + n]
+            results.append(entry(jnp.asarray(xc), hap_dev,
+                                 jnp.asarray(idx2), lx=lx, ly=ly,
+                                 interpret=interpret, unroll=unroll))
         spans.append((start, n))
         start += n
     return results, spans
@@ -813,7 +869,8 @@ def sw_calls_pair_chained_tpu(x, hap_mat: np.ndarray,
     """Chained-lane flavor of sw_calls_pair_tpu (VARTRIX_CHAINED=1)."""
     out = np.empty(x.shape[0], dtype=np.int8)
     results, spans = _pair_chunks(x, hap_mat, idx_ref, idx_alt,
-                                  _sw_pair_chained_calls, unroll)
+                                  _sw_pair_chained_calls, unroll,
+                                  packed_entry=_sw_pair_chained_calls_packed)
     for r, (s, n) in zip(results, spans):
         out[s : s + n] = np.asarray(r)[:n]
     return out
@@ -1067,10 +1124,24 @@ def _sw_pair_quad_calls(x_u8: jax.Array, hap_mat: jax.Array,
     return jnp.where(dropped, 0, code).astype(jnp.int8)
 
 
-def _pair2_chunks(x, hap_mat, idx_ref, idx_alt, entry, unroll):
+@functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
+def _sw_pair_quad_calls_packed(xp: jax.Array, xlen: jax.Array,
+                               hap_mat: jax.Array, idx2: jax.Array,
+                               *, lx: int, ly: int, interpret: bool,
+                               unroll: int = UNROLL_DEFAULT) -> jax.Array:
+    """Packed-transfer flavor of _sw_pair_quad_calls."""
+    x = _unpack4(xp, xlen, lx)
+    return _sw_pair_quad_calls(x, hap_mat, idx2, lx=lx, ly=ly,
+                               interpret=interpret, unroll=unroll)
+
+
+def _pair2_chunks(x, hap_mat, idx_ref, idx_alt, entry, unroll,
+                  packed_entry=None):
     """Chunking for the quad entries: batches quantized so lanes (= half
-    the padded read count) fill whole LANES groups."""
+    the padded read count) fill whole LANES groups. Packed-transfer
+    dispatch as in _pair_chunks."""
     provider = callable(x)
+    packed = _pack4_enabled(x, packed_entry)
     R, lx = x.shape
     ly = hap_mat.shape[1]
     interpret = not _on_tpu()
@@ -1087,14 +1158,27 @@ def _pair2_chunks(x, hap_mat, idx_ref, idx_alt, entry, unroll):
         # override) is not a power of two.
         bp = max(_quantized_batch(2 * n) // 2, 2 * LANES)
         bp = -(-bp // (2 * LANES)) * (2 * LANES)
-        xc = np.zeros((bp, lx), dtype=np.uint8)
-        xc[:n] = x(start, n) if provider else x[start : start + n]
         idx2 = np.zeros(2 * bp, dtype=np.int32)
         idx2[0 : 2 * n : 2] = idx_ref[start : start + n]
         idx2[1 : 2 * n : 2] = idx_alt[start : start + n]
-        results.append(entry(jnp.asarray(xc), hap_dev, jnp.asarray(idx2),
-                             lx=lx, ly=ly, interpret=interpret,
-                             unroll=unroll))
+        got = x.packed(start, n) if packed else None
+        if got is not None:
+            xg, lg = got
+            xc = np.zeros((bp, lx // 2), dtype=np.uint8)
+            xc[:n] = xg
+            xl = np.zeros(bp, dtype=np.int32)
+            xl[:n] = lg
+            results.append(packed_entry(
+                jnp.asarray(xc), jnp.asarray(xl), hap_dev,
+                jnp.asarray(idx2), lx=lx, ly=ly, interpret=interpret,
+                unroll=unroll))
+        else:
+            packed = False  # alphabet fallback: stay unpacked from here
+            xc = np.zeros((bp, lx), dtype=np.uint8)
+            xc[:n] = x(start, n) if provider else x[start : start + n]
+            results.append(entry(jnp.asarray(xc), hap_dev,
+                                 jnp.asarray(idx2), lx=lx, ly=ly,
+                                 interpret=interpret, unroll=unroll))
         spans.append((start, n))
         start += n
     return results, spans
@@ -1110,7 +1194,8 @@ def sw_calls_pair_quad_tpu(x, hap_mat: np.ndarray,
                                          unroll=unroll)
     out = np.empty(x.shape[0], dtype=np.int8)
     results, spans = _pair2_chunks(x, hap_mat, idx_ref, idx_alt,
-                                   _sw_pair_quad_calls, unroll)
+                                   _sw_pair_quad_calls, unroll,
+                                   packed_entry=_sw_pair_quad_calls_packed)
     for r, (s, n) in zip(results, spans):
         out[s : s + n] = np.asarray(r)[:n]
     return out
@@ -1505,85 +1590,13 @@ def make_banded_tpu_scorer(n_threads: int = 1, k: int = 6, w: int = 20):
 
     return scorer
 
-
-# ---------------------------------------------------------------------------
-# 4-bit packed read transfer (re-A/B per VERDICT r2 #1a: with fused int8
-# call returns, the h2d read bytes are the dominant remaining transfer).
-# Reads decode from 4-bit BAM SEQ codes, so packing is lossless: host maps
-# bytes back to NT16 codes (pad byte 0 and '=' share code 0 — both
-# mismatch everything, including the haplotype pad byte 1, so scores are
-# identical), ships 2 bases/byte, and the device unpacks + LUTs back.
-# ---------------------------------------------------------------------------
-
-_SEQ_NT16 = np.frombuffer(b"\x00ACMGRSVTWYHKDBN", np.uint8)  # code 0 -> pad
-_BYTE_TO_CODE = np.full(256, 15, np.uint8)  # unknown -> 'N'
-for _c, _b in enumerate(_SEQ_NT16):
-    _BYTE_TO_CODE[_b] = _c
-_BYTE_TO_CODE[ord("=")] = 0
-
-
-def _pack_reads4(x: np.ndarray) -> np.ndarray:
-    """uint8 [R, lx] bytes -> [R, ceil(lx/2)] packed nibbles."""
-    R, lx = x.shape
-    codes = _BYTE_TO_CODE[x]
-    if lx % 2:
-        codes = np.concatenate([codes, np.zeros((R, 1), np.uint8)], axis=1)
-    return (codes[:, 0::2] << 4) | codes[:, 1::2]
-
-
-@functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
-def _sw_pair_chained_calls_packed(xp: jax.Array, hap_mat: jax.Array,
-                                  idx2: jax.Array, *, lx: int, ly: int,
-                                  interpret: bool,
-                                  unroll: int = UNROLL_DEFAULT) -> jax.Array:
-    lut = jnp.asarray(_SEQ_NT16)
-    hi = (xp >> 4).astype(jnp.int32)
-    lo = (xp & 0xF).astype(jnp.int32)
-    codes = jnp.stack([hi, lo], axis=2).reshape(xp.shape[0], -1)[:, :lx]
-    x_u8 = lut[codes].astype(jnp.uint8)
-    return _sw_pair_chained_calls(x_u8, hap_mat, idx2, lx=lx, ly=ly,
-                                  interpret=interpret, unroll=unroll)
-
-
-def sw_calls_pair_chained_packed_tpu(x, hap_mat: np.ndarray,
-                                     idx_ref: np.ndarray,
-                                     idx_alt: np.ndarray,
-                                     unroll: int = UNROLL_DEFAULT) -> np.ndarray:
-    provider = callable(x)
-    R, lx = x.shape
-    ly = hap_mat.shape[1]
-    interpret = not _on_tpu()
-    hap_dev = jnp.asarray(hap_mat)
-    out = np.empty(R, dtype=np.int8)
-    results, spans = [], []
-    half = _chunk() // 2
-    start = 0
-    while start < R:
-        n = min(half, R - start)
-        bp = max(_quantized_batch(2 * n) // 2, LANES)
-        xc = np.zeros((bp, lx), dtype=np.uint8)
-        xc[:n] = x(start, n) if provider else x[start : start + n]
-        idx2 = np.zeros(2 * bp, dtype=np.int32)
-        idx2[0 : 2 * n : 2] = idx_ref[start : start + n]
-        idx2[1 : 2 * n : 2] = idx_alt[start : start + n]
-        results.append(_sw_pair_chained_calls_packed(
-            jnp.asarray(_pack_reads4(xc)), hap_dev, jnp.asarray(idx2),
-            lx=lx, ly=ly, interpret=interpret, unroll=unroll))
-        spans.append((start, n))
-        start += n
-    for r, (s, n) in zip(results, spans):
-        out[s : s + n] = np.asarray(r)[:n]
-    return out
-
-
 def _pair_calls_chained_dispatch(x, hap_mat, idx_ref, idx_alt,
                                  unroll: int = UNROLL_DEFAULT):
     import os as _os
-    if _os.environ.get("VARTRIX_PACK4", "0") == "1":
-        return sw_calls_pair_chained_packed_tpu(x, hap_mat, idx_ref,
-                                                idx_alt, unroll)
     # quad-chain (k=4 corner packing) measured +6% over v5 on-chip
-    # (docs/KERNEL.md); falls back to v5 itself when infeasible
+    # (docs/KERNEL.md); falls back to v5 itself when infeasible.
+    # The 4-bit packed read transfer (VARTRIX_PACK4) is handled inside
+    # the chunk dispatchers when the read provider offers .packed.
     if _os.environ.get("VARTRIX_QUAD", "1") != "0":
         return sw_calls_pair_quad_tpu(x, hap_mat, idx_ref, idx_alt, unroll)
     return sw_calls_pair_chained_tpu(x, hap_mat, idx_ref, idx_alt, unroll)
