@@ -67,3 +67,51 @@ def test_insertion_lengthens_alt_hap(fa):
     assert rref == U[6:15]
     assert alt == U[6:10] + b"TTTTT" + U[11:15]
     assert len(alt) == len(rref) + 4
+
+
+def _prep(tmp_path, seq, records, valid_chars=b"ATGCatgc", padding=5):
+    from vartrix_tpu.core.pipeline import PipelineArgs, prepare_variants
+    from vartrix_tpu.io.vcf import VcfRecord
+
+    p = tmp_path / "v.fa"
+    p.write_bytes(b">c\n" + seq + b"\n")
+    (tmp_path / "v.fa.fai").write_text(
+        f"c\t{len(seq)}\t3\t{len(seq)}\t{len(seq)+1}\n")
+    fa = IndexedFasta(str(p))
+    recs = [VcfRecord(chrom="c", pos=pos, ref=ref, alts=[alt] if alt else [])
+            for pos, ref, alt in records]
+    args = PipelineArgs(valid_chars=valid_chars, padding=padding)
+    return prepare_variants(recs, fa, args)
+
+
+def test_invalid_chars_semantics(tmp_path):
+    """The valid-chars check covers the FULL alt haplotype — uppercase
+    padding AND raw ALT (src/main.rs:675-684). Pins the round-4
+    decomposition (translate + per-chrom bad-position index)."""
+    #        0123456789012345678901234
+    seq = b"ACGTACGTACNTACGTACGTACGTA"  # N at position 10
+    ws = _prep(tmp_path, seq, [
+        (2, b"G", b"T"),    # padding [0,2)+[3,8) clean -> kept... N at 10
+        (20, b"C", b"A"),   # padding [15,20)+[21,25) clean -> kept
+        (12, b"A", b"C"),   # left padding [7,12) contains N(10) -> skipped
+        (20, b"C", b"x"),   # invalid ALT byte -> skipped
+        (20, b"C", b"a"),   # lowercase alt IS valid by default -> kept
+        (20, b"C", b""),    # empty-ALT deletion: padding still checked
+    ])
+    # variant 0: padding [0,2) + [3,8) has no N -> kept
+    assert not ws[0].skipped
+    assert not ws[1].skipped
+    assert ws[2].skipped and ws[2].metrics.num_invalid_recs == 1
+    assert ws[3].skipped and ws[3].metrics.num_invalid_recs == 1
+    assert not ws[4].skipped
+    assert not ws[5].skipped  # deletion with clean padding
+    # deletion whose padding hits the N is still skipped
+    ws2 = _prep(tmp_path, seq, [(12, b"A", b"")])
+    assert ws2[0].skipped and ws2[0].metrics.num_invalid_recs == 1
+
+
+def test_invalid_chars_custom_valid_set(tmp_path):
+    # widening --valid-chars to include N keeps the N-padding record
+    seq = b"ACGTACGTACNTACGTACGTACGTA"
+    ws = _prep(tmp_path, seq, [(12, b"A", b"C")], valid_chars=b"ATGCNatgcn")
+    assert not ws[0].skipped

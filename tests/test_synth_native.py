@@ -247,10 +247,25 @@ def test_packed_transfer_matches_unpacked(tmp_path, monkeypatch):
     prov = _read_provider(cbam, rows, lx)
     assert callable(prov) and getattr(prov, "packed", None) is not None
 
+    from vartrix_tpu.ops.sw_pallas_v2 import PackedHaps
+
+    hap_off = np.arange(len(haps) + 1, dtype=np.int64) * ly
+    hg = gather_padded_packed(haps.reshape(-1), hap_off,
+                              np.arange(len(haps), dtype=np.int64), ly)
+    assert hg is not None
+    ph = PackedHaps(hg[0], hg[1], haps)
+
     for fn in (sw_calls_pair_quad_tpu, sw_calls_pair_chained_tpu):
-        monkeypatch.setenv("VARTRIX_PACK4", "1")
-        got = fn(prov, haps, idx_ref, idx_alt)
         monkeypatch.setenv("VARTRIX_PACK4", "0")
         exp = fn(prov, haps, idx_ref, idx_alt)
-        np.testing.assert_array_equal(got, exp)
         assert set(np.unique(exp)) - {0} != set()  # non-trivial codes
+        monkeypatch.setenv("VARTRIX_PACK4", "1")
+        got = fn(prov, haps, idx_ref, idx_alt)
+        np.testing.assert_array_equal(got, exp)
+        # haps packed too (PackedHaps wrapper, packed2 entries)
+        got2 = fn(prov, ph, idx_ref, idx_alt)
+        np.testing.assert_array_equal(got2, exp)
+        # and PackedHaps degrades to dense when reads are unpacked
+        monkeypatch.setenv("VARTRIX_PACK4", "0")
+        got3 = fn(prov, ph, idx_ref, idx_alt)
+        np.testing.assert_array_equal(got3, exp)

@@ -307,6 +307,7 @@ def _score_all_pairs(
         hap_mat = _gather_padded_pool(hap_pool, hap_off, hap_ids, ly,
                                       pad_byte=1)
         hap_mat = _quantize_hap_rows(hap_mat)
+        hap_mat = _maybe_pack_haps(hap_pool, hap_off, hap_ids, ly, hap_mat)
         x = _read_provider(cbam, t_read[sel], lx)
         idx_ref = (2 * v_inv).astype(np.int32)
         idx_alt = (2 * v_inv + 1).astype(np.int32)
@@ -315,6 +316,30 @@ def _score_all_pairs(
     for wi, start, count in blocks:
         results[wi][...] = flat[start : start + count]
     return results
+
+
+def _maybe_pack_haps(hap_pool, hap_off, hap_ids, ly, hap_mat):
+    """Wrap the (already row-quantized) haplotype matrix in a PackedHaps
+    when the packed transfer is on and the pool fits the BAM 16-symbol
+    alphabet (lowercase ALT alleles decline and stay dense). The packed
+    rep halves the per-bucket hap upload — at 100k-variant cohort scale
+    the unique-hap matrix is the co-dominant score-phase transfer."""
+    if os.environ.get("VARTRIX_PACK4", "1") == "0" or ly % 2:
+        return hap_mat
+    from ..io.bam_native import gather_padded_packed, native_available
+    if not native_available():
+        return hap_mat
+    got = gather_padded_packed(hap_pool, hap_off, hap_ids, ly)
+    if got is None:
+        return hap_mat
+    from ..ops.sw_pallas_v2 import PackedHaps
+    hp, hl = got
+    q = hap_mat.shape[0]
+    hp2 = np.zeros((q, ly // 2), np.uint8)
+    hp2[: len(hap_ids)] = hp
+    hl2 = np.zeros(q, np.int32)
+    hl2[: len(hap_ids)] = hl
+    return PackedHaps(hp2, hl2, hap_mat)
 
 
 def _quantize_hap_rows(hap_mat: np.ndarray) -> np.ndarray:

@@ -28,8 +28,9 @@ class Locus:
 def read_locus(fa: IndexedFasta, loc: Locus, pad_left: int, pad_right: int) -> tuple[bytes, int]:
     new_start = max(0, loc.start - pad_left)
     new_end = min(loc.end + pad_right, fa.chrom_len(loc.chrom))
-    seq = fa.fetch(loc.chrom, new_start, new_end)
-    return seq.upper(), new_start
+    # fetch_upper: uppercase conversion amortized once per cached chrom
+    seq = fa.fetch_upper(loc.chrom, new_start, new_end)
+    return seq, new_start
 
 
 def construct_haplotypes(fa: IndexedFasta, locus: Locus, alt: bytes, padding: int) -> tuple[bytes, bytes]:

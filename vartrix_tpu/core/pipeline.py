@@ -48,19 +48,58 @@ class PipelineArgs:
     padding: int = 100
 
 
-@dataclass
 class VariantWork:
-    row: int
-    locus: Locus
-    rref: bytes = b""
-    alt_hap: bytes = b""
-    skipped: bool = False
-    # surviving reads
-    read_seqs: List[bytes] = field(default_factory=list)
-    cell_indices: List[int] = field(default_factory=list)
-    umis: List[bytes] = field(default_factory=list)
-    qnames: List[bytes] = field(default_factory=list)
-    metrics: Metrics = field(default_factory=Metrics)
+    """Per-variant state. A slotted class with LAZY collection/metrics
+    fields rather than a dataclass: 100k-variant cohorts create one of
+    these per record, and eagerly allocating four lists + a Metrics per
+    row was ~1s of the haplotypes phase (only skipped/active rows ever
+    touch them)."""
+
+    __slots__ = ("row", "locus", "rref", "alt_hap", "skipped",
+                 "_read_seqs", "_cell_indices", "_umis", "_qnames",
+                 "_metrics")
+
+    def __init__(self, row: int, locus: Locus):
+        self.row = row
+        self.locus = locus
+        self.rref = b""
+        self.alt_hap = b""
+        self.skipped = False
+        self._read_seqs = None
+        self._cell_indices = None
+        self._umis = None
+        self._qnames = None
+        self._metrics = None
+
+    @property
+    def read_seqs(self) -> List[bytes]:
+        if self._read_seqs is None:
+            self._read_seqs = []
+        return self._read_seqs
+
+    @property
+    def cell_indices(self) -> List[int]:
+        if self._cell_indices is None:
+            self._cell_indices = []
+        return self._cell_indices
+
+    @property
+    def umis(self) -> List[bytes]:
+        if self._umis is None:
+            self._umis = []
+        return self._umis
+
+    @property
+    def qnames(self) -> List[bytes]:
+        if self._qnames is None:
+            self._qnames = []
+        return self._qnames
+
+    @property
+    def metrics(self) -> Metrics:
+        if self._metrics is None:
+            self._metrics = Metrics()
+        return self._metrics
 
 
 def prepare_variants(
@@ -74,11 +113,44 @@ def prepare_variants(
     computed rows for sharded multi-host runs — out-of-range rows are
     silently skipped (no metrics, no haplotypes) but keep their place in
     the matrix dimensions."""
-    # vectorized valid-chars membership: a byte-wise scan of the full alt
-    # haplotype per variant is O(hap_len) Python per record otherwise
-    # (~2s of the 100k-variant cohort's haplotypes phase)
+    # valid-chars semantics (src/main.rs:675-684): the check covers the
+    # FULL alt haplotype = uppercase ref padding ++ raw ALT bytes. It is
+    # decomposed here so the per-record cost is O(len(ALT)):
+    #   * ALT bytes: bytes.translate with the valid set as delete table
+    #     (leftover bytes == invalid chars), C-speed;
+    #   * padding windows: a per-chrom sorted index of invalid positions
+    #     in the UPPERCASE chromosome (usually just N runs; empty for
+    #     clean genomes), range-tested with searchsorted. Built once per
+    #     chrom — the old per-record numpy scan was ~2s of the
+    #     100k-variant cohort's haplotypes phase.
     valid_lut = np.zeros(256, dtype=bool)
     valid_lut[list(args.valid_chars)] = True
+    delete_tbl = bytes(args.valid_chars)
+    bad_pos_cache: Dict[str, np.ndarray] = {}
+
+    def bad_positions(chrom: str) -> np.ndarray:
+        arr = bad_pos_cache.get(chrom)
+        if arr is None:
+            seq = fasta.fetch_upper(chrom, 0, fasta.chrom_len(chrom))
+            arr = np.nonzero(~valid_lut[np.frombuffer(seq, np.uint8)])[0]
+            bad_pos_cache[chrom] = arr
+        return arr
+
+    def padding_invalid(chrom: str, a1, b1, a2, b2) -> bool:
+        bp = bad_positions(chrom)
+        if not bp.size:
+            return False
+        return bool(np.searchsorted(bp, a1) < np.searchsorted(bp, b1)
+                    or np.searchsorted(bp, a2) < np.searchsorted(bp, b2))
+
+    # one-entry uppercase-chromosome cache: haplotypes then come from
+    # three plain byte slices per record instead of the layered
+    # fetch/clamp call chain (construct_haplotypes stays as the
+    # readable single-variant constructor; the loop here is the same
+    # arithmetic inlined — pure function-call overhead was >60% of the
+    # 100k-variant cohort's haplotypes phase)
+    cur_chrom, cu, clen = None, b"", 0
+    pad = args.padding
     works: List[VariantWork] = []
     for i, rec in enumerate(records):
         locus = Locus(rec.chrom, rec.pos, rec.pos + len(rec.ref))
@@ -96,12 +168,25 @@ def prepare_variants(
             works.append(w)
             continue
         alt = alleles[1] if len(alleles) > 1 else b""
-        rref, alt_hap = construct_haplotypes(fasta, locus, alt, args.padding)
+        if rec.chrom != cur_chrom:
+            cur_chrom = rec.chrom
+            clen = fasta.chrom_len(cur_chrom)
+            cu = fasta.fetch_upper(cur_chrom, 0, clen)
+        s, e = locus.start, locus.end
+        a1 = s - pad
+        if a1 < 0:
+            a1 = 0
+        b2 = e + pad
+        if b2 > clen:
+            b2 = clen
+        rref = cu[a1:b2]
+        alt_hap = cu[a1:s] + alt + cu[e:b2]
         # NOTE: the reference checks valid chars on the FULL alt haplotype
         # (src/main.rs:675-684), i.e. including the reference padding — an
         # N in the padded reference sequence also skips the record.
-        invalid = bool(alt_hap) and not valid_lut[
-            np.frombuffer(alt_hap, np.uint8)].all()
+        invalid = bool(alt_hap) and (
+            bool(alt.translate(None, delete_tbl))
+            or padding_invalid(rec.chrom, a1, s, e, b2))
         if invalid:
             log.warning(
                 "Variant at %s:%d has invalid alternative characters. "

@@ -465,7 +465,8 @@ def _main(argv: List[str]) -> None:
 
         metrics = Metrics()
         for w in works:
-            metrics.add(w.metrics)
+            if w._metrics is not None:  # lazy: untouched rows carry none
+                metrics.add(w._metrics)
         with _phase("aggregate"):
             if args.device_agg:
                 from .core.agg_device_driver import aggregate_on_device
@@ -535,7 +536,8 @@ def _main(argv: List[str]) -> None:
 
         metrics = Metrics()
         for w, sc in zip(works, per_variant_scores):
-            metrics.add(w.metrics)
+            if w._metrics is not None:
+                metrics.add(w._metrics)
             # stable sort by cell_index (reference src/main.rs:932)
             order = sorted(range(len(w.cell_indices)), key=lambda k: w.cell_indices[k])
             scores = [

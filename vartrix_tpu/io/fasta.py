@@ -74,6 +74,7 @@ class IndexedFasta:
         self._fh = open(fasta_path, "rb")
         self._cache_chrom = None
         self._cache_seq = b""
+        self._cache_upper = None  # lazily derived from _cache_seq
         # per-chrom cache-miss counts: detects interleaved-chrom fetch
         # patterns (multi-ref CRAM ref_fetch, unsorted VCFs) where the
         # whole-chrom cache fill would thrash O(switches x chrom_len)
@@ -116,7 +117,28 @@ class IndexedFasta:
                 return self._read_range(e, start, end)
             self._cache_chrom = chrom
             self._cache_seq = self._read_range(e, 0, e.length)
+            self._cache_upper = None
         return self._cache_seq[start:end]
+
+    def fetch_upper(self, chrom: str, start: int, end: int) -> bytes:
+        """fetch().upper() with the uppercase conversion done ONCE per
+        cached chromosome instead of per call — haplotype construction
+        makes 3 upper() fetches per variant, which at 100k-variant
+        cohort scale is seconds of redundant byte work."""
+        e = self.index.by_name.get(chrom)
+        if e is None:
+            raise KeyError(f"Requested chromosome {chrom} was not found in fasta")
+        start = max(0, min(start, e.length))
+        end = max(start, min(end, e.length))
+        if end == start:
+            return b""
+        if self._cache_chrom != chrom:
+            seq = self.fetch(chrom, start, end)  # may fill the cache
+            if self._cache_chrom != chrom:       # windowed fallback path
+                return seq.upper()
+        if self._cache_upper is None:
+            self._cache_upper = self._cache_seq.upper()
+        return self._cache_upper[start:end]
 
     def _read_range(self, e, start: int, end: int) -> bytes:
         line_full, line_blen = e.linebases, e.linewidth

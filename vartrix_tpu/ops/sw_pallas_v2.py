@@ -786,18 +786,45 @@ def _sw_pair_chained_calls(x_u8: jax.Array, hap_mat: jax.Array,
 SEQ_NT16_TBL = np.frombuffer(b"=ACMGRSVTWYHKDBN", np.uint8).copy()
 
 
-def _unpack4(xp: jax.Array, xlen: jax.Array, lx: int) -> jax.Array:
+def _unpack4(xp: jax.Array, xlen: jax.Array, lx: int,
+             pad: int = 0) -> jax.Array:
     """[R, lx//2] packed nibbles (high nibble first) + [R] lengths ->
-    [R, lx] uint8 SEQ_NT16 bytes, positions >= len set to the kernel
-    read pad byte 0. Runs inside the jitted entry so the host->device
-    read transfer is halved; XLA fuses the unpack into the input path."""
+    [R, lx] uint8 SEQ_NT16 bytes, positions >= len set to `pad` (kernel
+    read pad 0 / haplotype pad 1). Runs inside the jitted entry so the
+    host->device transfer is halved; XLA fuses the unpack."""
     R = xp.shape[0]
     hi = (xp >> 4).astype(jnp.int32)
     lo = (xp & 15).astype(jnp.int32)
     inter = jnp.stack([hi, lo], axis=-1).reshape(R, lx)
     x = jnp.asarray(SEQ_NT16_TBL)[inter]
     mask = jax.lax.broadcasted_iota(jnp.int32, (R, lx), 1) < xlen[:, None]
-    return jnp.where(mask, x, jnp.uint8(0))
+    return jnp.where(mask, x, jnp.uint8(pad))
+
+
+class PackedHaps:
+    """Haplotype matrix in the 4-bit packed transfer representation:
+    `packed` [H, ly//2] uint8 nibbles + `lens` [H] int32, plus the dense
+    [H, ly] fallback (pad byte 1) for entries/paths that don't consume
+    packed haps. np.asarray()/jnp.asarray() yield the dense matrix, so
+    every existing consumer keeps working; the packed-aware dispatchers
+    ship `packed`+`lens` instead (halves the per-bucket hap upload —
+    dominant at 100k-variant cohort scale where the unique-hap matrix
+    is tens of MB per shape bucket)."""
+
+    __slots__ = ("packed", "lens", "dense")
+
+    def __init__(self, packed: np.ndarray, lens: np.ndarray,
+                 dense: np.ndarray):
+        self.packed = packed
+        self.lens = lens
+        self.dense = dense
+
+    @property
+    def shape(self):
+        return self.dense.shape
+
+    def __array__(self, dtype=None, copy=None):
+        return self.dense if dtype is None else self.dense.astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
@@ -811,6 +838,19 @@ def _sw_pair_chained_calls_packed(xp: jax.Array, xlen: jax.Array,
                                   interpret=interpret, unroll=unroll)
 
 
+@functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
+def _sw_pair_chained_calls_packed2(xp: jax.Array, xlen: jax.Array,
+                                   hp: jax.Array, hlen: jax.Array,
+                                   idx2: jax.Array, *, lx: int, ly: int,
+                                   interpret: bool,
+                                   unroll: int = UNROLL_DEFAULT) -> jax.Array:
+    """Reads AND haplotypes packed (hap pad byte 1)."""
+    x = _unpack4(xp, xlen, lx)
+    hap_mat = _unpack4(hp, hlen, ly, pad=1)
+    return _sw_pair_chained_calls(x, hap_mat, idx2, lx=lx, ly=ly,
+                                  interpret=interpret, unroll=unroll)
+
+
 def _pack4_enabled(x, packed_entry) -> bool:
     return (packed_entry is not None and callable(x)
             and getattr(x, "packed", None) is not None
@@ -819,18 +859,31 @@ def _pack4_enabled(x, packed_entry) -> bool:
 
 
 def _pair_chunks(x, hap_mat, idx_ref, idx_alt, entry, unroll,
-                 packed_entry=None):
+                 packed_entry=None, packed2_entry=None):
     """Shared chunking for the chained-pair entries: each chunk ships
     R read rows (one lane per read) + interleaved hap indices. When the
     read source offers a packed gather (fast_pipeline provider) and a
     packed entry exists, reads ship as 4-bit codes + lengths (half the
-    transfer); falls back per-call if the packed gather declines."""
+    transfer); with a PackedHaps hap matrix and a packed2 entry, the
+    per-bucket hap upload is halved too. Falls back per-call if the
+    packed gather declines (foreign alphabet)."""
     provider = callable(x)
     packed = _pack4_enabled(x, packed_entry)
+    ph = hap_mat if isinstance(hap_mat, PackedHaps) else None
     R, lx = x.shape
     ly = hap_mat.shape[1]
     interpret = not _on_tpu()
-    hap_dev = jnp.asarray(hap_mat)
+    dense_dev = None
+
+    def hap_dense():
+        nonlocal dense_dev
+        if dense_dev is None:
+            dense_dev = jnp.asarray(np.asarray(hap_mat))
+        return dense_dev
+
+    hp_dev = None
+    if packed and ph is not None and packed2_entry is not None and ly % 2 == 0:
+        hp_dev = (jnp.asarray(ph.packed), jnp.asarray(ph.lens))
     results, spans = [], []
     half = _chunk() // 2
     start = 0
@@ -847,15 +900,21 @@ def _pair_chunks(x, hap_mat, idx_ref, idx_alt, entry, unroll,
             xc[:n] = xg
             xl = np.zeros(bp, dtype=np.int32)
             xl[:n] = lg
-            results.append(packed_entry(
-                jnp.asarray(xc), jnp.asarray(xl), hap_dev,
-                jnp.asarray(idx2), lx=lx, ly=ly, interpret=interpret,
-                unroll=unroll))
+            if hp_dev is not None:
+                results.append(packed2_entry(
+                    jnp.asarray(xc), jnp.asarray(xl), hp_dev[0], hp_dev[1],
+                    jnp.asarray(idx2), lx=lx, ly=ly, interpret=interpret,
+                    unroll=unroll))
+            else:
+                results.append(packed_entry(
+                    jnp.asarray(xc), jnp.asarray(xl), hap_dense(),
+                    jnp.asarray(idx2), lx=lx, ly=ly, interpret=interpret,
+                    unroll=unroll))
         else:
             packed = False  # alphabet fallback: stay unpacked from here
             xc = np.zeros((bp, lx), dtype=np.uint8)
             xc[:n] = x(start, n) if provider else x[start : start + n]
-            results.append(entry(jnp.asarray(xc), hap_dev,
+            results.append(entry(jnp.asarray(xc), hap_dense(),
                                  jnp.asarray(idx2), lx=lx, ly=ly,
                                  interpret=interpret, unroll=unroll))
         spans.append((start, n))
@@ -868,9 +927,10 @@ def sw_calls_pair_chained_tpu(x, hap_mat: np.ndarray,
                               unroll: int = UNROLL_DEFAULT) -> np.ndarray:
     """Chained-lane flavor of sw_calls_pair_tpu (VARTRIX_CHAINED=1)."""
     out = np.empty(x.shape[0], dtype=np.int8)
-    results, spans = _pair_chunks(x, hap_mat, idx_ref, idx_alt,
-                                  _sw_pair_chained_calls, unroll,
-                                  packed_entry=_sw_pair_chained_calls_packed)
+    results, spans = _pair_chunks(
+        x, hap_mat, idx_ref, idx_alt, _sw_pair_chained_calls, unroll,
+        packed_entry=_sw_pair_chained_calls_packed,
+        packed2_entry=_sw_pair_chained_calls_packed2)
     for r, (s, n) in zip(results, spans):
         out[s : s + n] = np.asarray(r)[:n]
     return out
@@ -1135,17 +1195,41 @@ def _sw_pair_quad_calls_packed(xp: jax.Array, xlen: jax.Array,
                                interpret=interpret, unroll=unroll)
 
 
+@functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
+def _sw_pair_quad_calls_packed2(xp: jax.Array, xlen: jax.Array,
+                                hp: jax.Array, hlen: jax.Array,
+                                idx2: jax.Array, *, lx: int, ly: int,
+                                interpret: bool,
+                                unroll: int = UNROLL_DEFAULT) -> jax.Array:
+    """Reads AND haplotypes packed (hap pad byte 1)."""
+    x = _unpack4(xp, xlen, lx)
+    hap_mat = _unpack4(hp, hlen, ly, pad=1)
+    return _sw_pair_quad_calls(x, hap_mat, idx2, lx=lx, ly=ly,
+                               interpret=interpret, unroll=unroll)
+
+
 def _pair2_chunks(x, hap_mat, idx_ref, idx_alt, entry, unroll,
-                  packed_entry=None):
+                  packed_entry=None, packed2_entry=None):
     """Chunking for the quad entries: batches quantized so lanes (= half
     the padded read count) fill whole LANES groups. Packed-transfer
     dispatch as in _pair_chunks."""
     provider = callable(x)
     packed = _pack4_enabled(x, packed_entry)
+    ph = hap_mat if isinstance(hap_mat, PackedHaps) else None
     R, lx = x.shape
     ly = hap_mat.shape[1]
     interpret = not _on_tpu()
-    hap_dev = jnp.asarray(hap_mat)
+    dense_dev = None
+
+    def hap_dense():
+        nonlocal dense_dev
+        if dense_dev is None:
+            dense_dev = jnp.asarray(np.asarray(hap_mat))
+        return dense_dev
+
+    hp_dev = None
+    if packed and ph is not None and packed2_entry is not None and ly % 2 == 0:
+        hp_dev = (jnp.asarray(ph.packed), jnp.asarray(ph.lens))
     results, spans = [], []
     half = _chunk() // 2
     start = 0
@@ -1168,15 +1252,21 @@ def _pair2_chunks(x, hap_mat, idx_ref, idx_alt, entry, unroll,
             xc[:n] = xg
             xl = np.zeros(bp, dtype=np.int32)
             xl[:n] = lg
-            results.append(packed_entry(
-                jnp.asarray(xc), jnp.asarray(xl), hap_dev,
-                jnp.asarray(idx2), lx=lx, ly=ly, interpret=interpret,
-                unroll=unroll))
+            if hp_dev is not None:
+                results.append(packed2_entry(
+                    jnp.asarray(xc), jnp.asarray(xl), hp_dev[0], hp_dev[1],
+                    jnp.asarray(idx2), lx=lx, ly=ly, interpret=interpret,
+                    unroll=unroll))
+            else:
+                results.append(packed_entry(
+                    jnp.asarray(xc), jnp.asarray(xl), hap_dense(),
+                    jnp.asarray(idx2), lx=lx, ly=ly, interpret=interpret,
+                    unroll=unroll))
         else:
             packed = False  # alphabet fallback: stay unpacked from here
             xc = np.zeros((bp, lx), dtype=np.uint8)
             xc[:n] = x(start, n) if provider else x[start : start + n]
-            results.append(entry(jnp.asarray(xc), hap_dev,
+            results.append(entry(jnp.asarray(xc), hap_dense(),
                                  jnp.asarray(idx2), lx=lx, ly=ly,
                                  interpret=interpret, unroll=unroll))
         spans.append((start, n))
@@ -1193,9 +1283,10 @@ def sw_calls_pair_quad_tpu(x, hap_mat: np.ndarray,
         return sw_calls_pair_chained_tpu(x, hap_mat, idx_ref, idx_alt,
                                          unroll=unroll)
     out = np.empty(x.shape[0], dtype=np.int8)
-    results, spans = _pair2_chunks(x, hap_mat, idx_ref, idx_alt,
-                                   _sw_pair_quad_calls, unroll,
-                                   packed_entry=_sw_pair_quad_calls_packed)
+    results, spans = _pair2_chunks(
+        x, hap_mat, idx_ref, idx_alt, _sw_pair_quad_calls, unroll,
+        packed_entry=_sw_pair_quad_calls_packed,
+        packed2_entry=_sw_pair_quad_calls_packed2)
     for r, (s, n) in zip(results, spans):
         out[s : s + n] = np.asarray(r)[:n]
     return out

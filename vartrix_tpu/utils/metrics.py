@@ -7,6 +7,11 @@ from __future__ import annotations
 from dataclasses import dataclass, fields
 
 
+_FIELDS = ("num_reads", "num_low_mapq", "num_non_primary",
+           "num_duplicates", "num_not_cell_bc", "num_not_useful",
+           "num_non_umi", "num_invalid_recs", "num_multiallelic_recs")
+
+
 @dataclass
 class Metrics:
     num_reads: int = 0
@@ -20,11 +25,13 @@ class Metrics:
     num_multiallelic_recs: int = 0
 
     def add(self, other: "Metrics") -> None:
-        for f in fields(self):
-            setattr(self, f.name, getattr(self, f.name) + getattr(other, f.name))
+        # static field tuple, not dataclasses.fields(): the merge runs
+        # once per variant and introspection was measurable at 100k rows
+        for f in _FIELDS:
+            setattr(self, f, getattr(self, f) + getattr(other, f))
 
     def as_dict(self) -> dict:
-        return {f.name: getattr(self, f.name) for f in fields(self)}
+        return {f: getattr(self, f) for f in _FIELDS}
 
 
 def log_metrics(log, m: Metrics) -> None:
