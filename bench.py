@@ -155,8 +155,12 @@ def bench_e2e(kernel_aps=None, reps=5):
     from vartrix_tpu.utils.synth import SynthConfig, generate_dataset
 
     d = tempfile.mkdtemp()
+    # warm-up keeps the TIMED variant count: the quantized hap-matrix
+    # row count is part of the jitted entry signatures, so a smaller
+    # warm dataset would leave the timed shapes cold and rep0 pays the
+    # compile through the relay
     warm = generate_dataset(os.path.join(d, "w"), SynthConfig(
-        seed=3, **{**TIMED_CFG, "n_variants": 200, "reads_per_variant": 100}))
+        seed=3, **{**TIMED_CFG, "reads_per_variant": 20}))
     nt = str(os.cpu_count() or 1)
     ARMS = {"cpu": ["--sw-mode", "banded", "--backend", "cpu"],
             "tpu": ["--backend", "tpu"]}

@@ -279,3 +279,28 @@ def test_native_multi_slice_mixed_rans(dataset, tmp_path):
     data = cram_decode_native(cram, dataset["fasta"], offsets=offs)
     nat2 = ColumnarBam(cram, bam_bytes=data)
     assert nat2.n == sum(1 for _ in cr.records_for_containers(offs))
+
+
+def test_native_cram_cli_golden_mixed_multislice(tmp_path):
+    """Full pipeline over a MIXED-codec, multi-slice CRAM (the htslib
+    profile shape) == BAM golden — end-to-end, not just container
+    equality."""
+    from vartrix_tpu.driver import _main
+    from vartrix_tpu.io.cram import write_crai
+    from vartrix_tpu.io.matrix_market import read_matrix_market
+
+    T = "/root/reference/test"
+    b = BamReader(f"{T}/test.bam")
+    cram = str(tmp_path / "tm.cram")
+    write_cram(cram, list(zip(b.ref_names, b.ref_lens)), b.records(),
+               fasta_path=f"{T}/test.fa", codec_profile="mixed",
+               slices_per_container=2, block_method="rans1",
+               records_per_container=800)
+    write_crai(cram, fasta_path=f"{T}/test.fa")
+    out = str(tmp_path / "out.mtx")
+    _main(["-v", f"{T}/test.vcf", "-b", cram, "-f", f"{T}/test.fa",
+           "-c", f"{T}/barcodes.tsv", "-o", out,
+           "--host", "native", "--backend", "cpu"])
+    a = read_matrix_market(out).to_canonical()
+    g = read_matrix_market(f"{T}/test_consensus.mtx").to_canonical()
+    assert a == g
