@@ -174,6 +174,53 @@ def test_sharded_step_routes_production_quad_protocol():
     np.testing.assert_array_equal(counts, exp)
 
 
+def test_mesh_pair_calls_packed_matches_unpacked(monkeypatch):
+    """--mesh-devices scorer: the packed read transfer must produce the
+    same int8 codes as the dense transfer across the 8-device mesh."""
+    from vartrix_tpu.ops.sw_pallas_v2 import SEQ_NT16_TBL, make_mesh_scorer
+
+    n_dev = len(jax.devices())
+    if n_dev < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    rng = np.random.default_rng(23)
+    lx, ly, R, H = 32, 48, 2048, 8
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    x = np.zeros((R, lx), np.uint8)
+    lens = np.zeros(R, np.int32)
+    for i in range(R):
+        m = int(rng.integers(28, lx + 1))
+        x[i, :m] = rng.choice(bases, m)
+        lens[i] = m
+    haps = rng.choice(bases, size=(H, ly)).astype(np.uint8)
+    for i in range(0, R, 2):  # embed >= MIN_SCORE bases
+        haps[i % H, 2 : 2 + lx - 4] = x[i, : lx - 4]
+    ir = rng.integers(0, H, R).astype(np.int32)
+    ia = rng.integers(0, H, R).astype(np.int32)
+
+    byte_to_code = np.full(256, 255, np.uint8)
+    for c, b in enumerate(SEQ_NT16_TBL):
+        byte_to_code[b] = c
+
+    def provider(start, m):
+        return x[start : start + m]
+
+    def packed(start, m):
+        rows = byte_to_code[x[start : start + m]]
+        rows[np.arange(lx)[None, :] >= lens[start : start + m, None]] = 0
+        return (rows[:, 0::2] << 4) | rows[:, 1::2], lens[start : start + m]
+
+    provider.shape = x.shape
+    provider.packed = packed
+
+    scorer = make_mesh_scorer()
+    monkeypatch.setenv("VARTRIX_PACK4", "0")
+    exp = scorer.pair_calls_chained(x, haps, ir, ia)
+    monkeypatch.setenv("VARTRIX_PACK4", "1")
+    got = scorer.pair_calls_chained(provider, haps, ir, ia)
+    np.testing.assert_array_equal(got, exp)
+    assert set(np.unique(exp)) - {0}
+
+
 def test_device_calls_match_host():
     from vartrix_tpu.core.calls import evaluate_scores
 

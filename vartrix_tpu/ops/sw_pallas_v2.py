@@ -522,6 +522,20 @@ def make_mesh_scorer(n_devices: int = 0, unroll: int = UNROLL_DEFAULT):
                        out_specs=P("shard"), check_rep=False)
         return fn(x_u8, hap_mat, idx2)
 
+    @functools.partial(jax.jit, static_argnames=("lx", "ly", "quad"))
+    def _sharded_pair_calls_packed(xp, xlen, hap_mat, idx2, *, lx, ly,
+                                   quad):
+        def local(xp_c, xl_c, haps, idx2_c):
+            entry = (_sw_pair_quad_calls_packed if quad
+                     else _sw_pair_chained_calls_packed)
+            return entry(xp_c, xl_c, haps, idx2_c, lx=lx, ly=ly,
+                         interpret=interpret, unroll=unroll)
+
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(P("shard"), P("shard"), P(), P("shard")),
+                       out_specs=P("shard"), check_rep=False)
+        return fn(xp, xlen, hap_mat, idx2)
+
     def scorer(x: np.ndarray, y: np.ndarray) -> np.ndarray:
         # plain entry: chunk so the replicated per-chunk hap matrix stays
         # bounded (<= CHUNK x ly per device) and compiled shapes are
@@ -564,15 +578,18 @@ def make_mesh_scorer(n_devices: int = 0, unroll: int = UNROLL_DEFAULT):
 
     def pair_calls(x, hap_mat: np.ndarray, idx_ref: np.ndarray,
                    idx_alt: np.ndarray) -> np.ndarray:
-        """Fused chained-pair protocol over the mesh -> int8 codes [R]."""
+        """Fused chained-pair protocol over the mesh -> int8 codes [R].
+        Reads ship 4-bit packed when the provider offers the native
+        packed gather (same VARTRIX_PACK4 dispatch as single-chip)."""
         import os as _os
         provider = callable(x)
+        packed = _pack4_enabled(x, _sharded_pair_calls_packed)
         R, lx = x.shape
         ly = hap_mat.shape[1]
         quad = (_os.environ.get("VARTRIX_QUAD", "1") != "0"
                 and quad_feasible(lx, ly, unroll))
         entry = _sharded_pair_calls_quad if quad else _sharded_pair_calls
-        hap_dev = jnp.asarray(hap_mat)
+        hap_dev = jnp.asarray(np.asarray(hap_mat))
         out = np.empty(R, dtype=np.int8)
         results, spans = [], []
         half = _chunk() // 2
@@ -581,13 +598,25 @@ def make_mesh_scorer(n_devices: int = 0, unroll: int = UNROLL_DEFAULT):
             cn = min(half, R - start)
             q = n * (2 * LANES if quad else LANES)
             bp = ((max(_quantized_batch(cn), q) + q - 1) // q) * q
-            xc = np.zeros((bp, lx), dtype=np.uint8)
-            xc[:cn] = x(start, cn) if provider else x[start : start + cn]
             idx2 = np.zeros(2 * bp, dtype=np.int32)
             idx2[0 : 2 * cn : 2] = idx_ref[start : start + cn]
             idx2[1 : 2 * cn : 2] = idx_alt[start : start + cn]
-            results.append(entry(jnp.asarray(xc), hap_dev,
-                                 jnp.asarray(idx2), lx=lx, ly=ly))
+            got = x.packed(start, cn) if packed else None
+            if got is not None:
+                xg, lg = got
+                xc = np.zeros((bp, lx // 2), dtype=np.uint8)
+                xc[:cn] = xg
+                xl = np.zeros(bp, dtype=np.int32)
+                xl[:cn] = lg
+                results.append(_sharded_pair_calls_packed(
+                    jnp.asarray(xc), jnp.asarray(xl), hap_dev,
+                    jnp.asarray(idx2), lx=lx, ly=ly, quad=quad))
+            else:
+                packed = False
+                xc = np.zeros((bp, lx), dtype=np.uint8)
+                xc[:cn] = x(start, cn) if provider else x[start : start + cn]
+                results.append(entry(jnp.asarray(xc), hap_dev,
+                                     jnp.asarray(idx2), lx=lx, ly=ly))
             spans.append((start, cn))
             start += cn
         for r, (s, cn) in zip(results, spans):
