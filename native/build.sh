@@ -8,6 +8,7 @@ if [ -f genomio.cpp ]; then
   g++ -O3 -march=native -std=c++17 -shared -fPIC -pthread genomio.cpp -o ../vartrix_tpu/_native/libgenomio.so -lz
 fi
 if [ -f cramio.cpp ]; then
-  g++ -O3 -march=native -std=c++17 -shared -fPIC -pthread cramio.cpp -o ../vartrix_tpu/_native/libcramio.so -lz
+  # libbz2 has no dev symlink on this image: link the runtime soname
+  g++ -O3 -march=native -std=c++17 -shared -fPIC -pthread cramio.cpp -o ../vartrix_tpu/_native/libcramio.so -lz -llzma -l:libbz2.so.1
 fi
 echo "built: $(ls ../vartrix_tpu/_native/)"

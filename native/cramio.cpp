@@ -17,7 +17,16 @@
 //
 // Build: native/build.sh -> vartrix_tpu/_native/libcramio.so
 
+#include <lzma.h>
 #include <zlib.h>
+
+// libbz2 ships only its runtime .so.1 on this image (no bzlib.h); the
+// one-shot buffer API has a stable ABI, declared here and linked with
+// -l:libbz2.so.1 (native/build.sh)
+extern "C" int BZ2_bzBuffToBuffDecompress(char* dest, unsigned int* destLen,
+                                          char* source,
+                                          unsigned int sourceLen,
+                                          int small, int verbosity);
 
 #include <algorithm>
 #include <atomic>
@@ -267,6 +276,25 @@ size_t read_block(const uint8_t* buf, size_t len, size_t off, CBlock& b) {
     case METHOD_RANS:
       rans_decode_4x8(payload, (size_t)csize, b.data.data(), (size_t)rsize);
       break;
+    case METHOD_BZIP2: {
+      unsigned int dlen = (unsigned int)rsize;
+      int rc = BZ2_bzBuffToBuffDecompress(
+          (char*)b.data.data(), &dlen, (char*)payload,
+          (unsigned int)csize, 0, 0);
+      if (rc != 0 || dlen != (unsigned int)rsize)
+        throw CramError("bzip2 block decode failure");
+      break;
+    }
+    case METHOD_LZMA: {
+      uint64_t memlimit = UINT64_MAX;
+      size_t in_pos = 0, out_pos = 0;
+      int rc = lzma_stream_buffer_decode(
+          &memlimit, 0, nullptr, payload, &in_pos, (size_t)csize,
+          b.data.data(), &out_pos, (size_t)rsize);
+      if (rc != 0 || out_pos != (size_t)rsize)
+        throw CramError("lzma block decode failure");
+      break;
+    }
     default:
       throw CramError("unsupported block compression method " +
                       std::to_string(b.method));

@@ -380,9 +380,9 @@ def _main(argv: List[str]) -> None:
             # C++ CRAM decoder (libcramio) produces one in memory; with
             # --fetch auto/regions and a valid .crai only containers
             # overlapping variant windows decode (the CRAM analog of the
-            # BAI region plan). Python transcode remains the fallback for
-            # features libcramio doesn't support (bzip2/lzma blocks,
-            # exotic codecs).
+            # BAI region plan). Python transcode remains the fallback
+            # for features libcramio doesn't support (exotic codecs;
+            # bzip2/lzma blocks decode natively since round 4).
             offs = None
             if args.fetch != "whole":
                 try:

@@ -6,9 +6,9 @@ specification: ITF8/LTF8 varints, containers/blocks, the compression
 header (preservation map, data-series encoding map, tag encoding map),
 slice decoding, and reference-based sequence reconstruction.
 
-Supported block compression methods: raw, gzip, and rANS 4x8 (order 0
-and 1) — the methods htslib emits by default for short-read data. bzip2
-and lzma are accepted via Python's stdlib when encountered.
+Supported block compression methods: raw, gzip, rANS 4x8 (order 0 and
+1), bzip2, and lzma — reading AND writing (bzip2/lzma via the stdlib
+here; the native decoder links libbz2/liblzma).
 
 Supported data-series codecs: EXTERNAL, HUFFMAN (canonical, incl. the
 0-bit single-symbol case), BETA, BYTE_ARRAY_LEN, BYTE_ARRAY_STOP.
@@ -485,6 +485,16 @@ def write_block(b: Block, compress: bool = True,
             r = rans_encode_4x8(raw, 0 if method_hint == "rans0" else 1)
             if r is not None and len(r) < len(raw):
                 comp, method = r, METHOD_RANS
+        elif method_hint == "bzip2":
+            import bz2
+            bzd = bz2.compress(raw)
+            if len(bzd) < len(raw):
+                comp, method = bzd, METHOD_BZIP2
+        elif method_hint == "lzma":
+            import lzma
+            xz = lzma.compress(raw)
+            if len(xz) < len(raw):
+                comp, method = xz, METHOD_LZMA
         if method is METHOD_RAW:
             co = zlib.compressobj(6, zlib.DEFLATED, 31)
             gz = co.compress(raw) + co.flush()
