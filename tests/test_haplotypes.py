@@ -115,3 +115,37 @@ def test_invalid_chars_custom_valid_set(tmp_path):
     seq = b"ACGTACGTACNTACGTACGTACGTA"
     ws = _prep(tmp_path, seq, [(12, b"A", b"C")], valid_chars=b"ATGCNatgcn")
     assert not ws[0].skipped
+
+
+def test_prepare_variants_unsorted_vcf_row_order(tmp_path):
+    """Chrom-interleaved (unsorted) VCFs: prepare_variants processes
+    grouped by chromosome (one cache fill per chrom) but must return
+    works in ROW order with haplotypes identical to the per-record
+    constructor."""
+    from vartrix_tpu.core.pipeline import PipelineArgs, prepare_variants
+    from vartrix_tpu.io.vcf import VcfRecord
+
+    seqs = {"a": b"acgtACGTttggccaaTGCA" * 3, "b": b"GGTTAACCggttaacc" * 4}
+    fa_p = tmp_path / "u.fa"
+    body, fai, off = b"", "", 0
+    for name, s in seqs.items():
+        hdr = f">{name}\n".encode()
+        body += hdr + s + b"\n"
+        off += len(hdr)
+        fai += f"{name}\t{len(s)}\t{off}\t{len(s)}\t{len(s)+1}\n"
+        off += len(s) + 1
+    fa_p.write_bytes(body)
+    (tmp_path / "u.fa.fai").write_text(fai)
+    fa = IndexedFasta(str(fa_p))
+
+    recs = [VcfRecord(chrom=c, pos=p, ref=b"A", alts=[b"T"])
+            for c, p in [("a", 5), ("b", 3), ("a", 30), ("b", 40),
+                         ("a", 50), ("b", 10)]]
+    args = PipelineArgs(padding=7)
+    works = prepare_variants(recs, fa, args)
+    assert [w.row for w in works] == list(range(6))
+    for w, rec in zip(works, recs):
+        fa2 = IndexedFasta(str(fa_p))
+        rref, alt_hap = construct_haplotypes(
+            fa2, Locus(rec.chrom, rec.pos, rec.pos + 1), b"T", 7)
+        assert w.rref == rref and w.alt_hap == alt_hap

@@ -31,7 +31,7 @@ from ..io.bam import BamReader
 from ..io.fasta import IndexedFasta
 from ..io.vcf import VcfRecord
 from ..utils.metrics import Metrics
-from .haplotypes import Locus, construct_haplotypes
+from .haplotypes import Locus
 
 log = logging.getLogger("vartrix")
 
@@ -143,61 +143,64 @@ def prepare_variants(
         return bool(np.searchsorted(bp, a1) < np.searchsorted(bp, b1)
                     or np.searchsorted(bp, a2) < np.searchsorted(bp, b2))
 
-    # one-entry uppercase-chromosome cache: haplotypes then come from
-    # three plain byte slices per record instead of the layered
-    # fetch/clamp call chain (construct_haplotypes stays as the
-    # readable single-variant constructor; the loop here is the same
-    # arithmetic inlined — pure function-call overhead was >60% of the
-    # 100k-variant cohort's haplotypes phase)
-    cur_chrom, cu, clen = None, b"", 0
-    pad = args.padding
-    works: List[VariantWork] = []
+    # Records are processed GROUPED BY CHROMOSOME (row order preserved
+    # in the output): haplotypes then come from three plain byte slices
+    # per record off one resident uppercase chromosome instead of the
+    # layered fetch/clamp call chain (construct_haplotypes stays as the
+    # readable single-variant constructor; pure function-call overhead
+    # was >60% of the 100k-variant cohort's haplotypes phase), and an
+    # UNSORTED VCF costs one chromosome fill per chrom rather than one
+    # per chrom switch (O(switches x chrom_len) I/O otherwise).
+    by_chrom: Dict[str, List[int]] = {}
     for i, rec in enumerate(records):
-        locus = Locus(rec.chrom, rec.pos, rec.pos + len(rec.ref))
-        w = VariantWork(row=i, locus=locus)
-        if row_range is not None and not (row_range[0] <= i < row_range[1]):
-            w.skipped = True
-            works.append(w)
-            continue
-        alleles = rec.alleles
-        if len(alleles) > 2:
-            log.info("Variant at %s:%d is multi-allelic. It will be ignored.",
-                     rec.chrom, rec.pos)
-            w.metrics.num_multiallelic_recs += 1
-            w.skipped = True
-            works.append(w)
-            continue
-        alt = alleles[1] if len(alleles) > 1 else b""
-        if rec.chrom != cur_chrom:
-            cur_chrom = rec.chrom
-            clen = fasta.chrom_len(cur_chrom)
-            cu = fasta.fetch_upper(cur_chrom, 0, clen)
-        s, e = locus.start, locus.end
-        a1 = s - pad
-        if a1 < 0:
-            a1 = 0
-        b2 = e + pad
-        if b2 > clen:
-            b2 = clen
-        rref = cu[a1:b2]
-        alt_hap = cu[a1:s] + alt + cu[e:b2]
-        # NOTE: the reference checks valid chars on the FULL alt haplotype
-        # (src/main.rs:675-684), i.e. including the reference padding — an
-        # N in the padded reference sequence also skips the record.
-        invalid = bool(alt_hap) and (
-            bool(alt.translate(None, delete_tbl))
-            or padding_invalid(rec.chrom, a1, s, e, b2))
-        if invalid:
-            log.warning(
-                "Variant at %s:%d has invalid alternative characters. "
-                "This record will be ignored.", rec.chrom, rec.pos)
-            w.metrics.num_invalid_recs += 1
-            w.skipped = True
-            works.append(w)
-            continue
-        w.rref = rref
-        w.alt_hap = alt_hap
-        works.append(w)
+        by_chrom.setdefault(rec.chrom, []).append(i)
+    pad = args.padding
+    works: List[Optional[VariantWork]] = [None] * len(records)
+    for chrom, idxs in by_chrom.items():
+        cu, clen = b"", 0
+        for i in idxs:
+            rec = records[i]
+            locus = Locus(rec.chrom, rec.pos, rec.pos + len(rec.ref))
+            w = works[i] = VariantWork(row=i, locus=locus)
+            if row_range is not None and not (row_range[0] <= i < row_range[1]):
+                w.skipped = True
+                continue
+            alleles = rec.alleles
+            if len(alleles) > 2:
+                log.info("Variant at %s:%d is multi-allelic. It will be "
+                         "ignored.", rec.chrom, rec.pos)
+                w.metrics.num_multiallelic_recs += 1
+                w.skipped = True
+                continue
+            alt = alleles[1] if len(alleles) > 1 else b""
+            if not cu:
+                clen = fasta.chrom_len(chrom)
+                cu = fasta.fetch_upper(chrom, 0, clen)
+            s, e = locus.start, locus.end
+            a1 = s - pad
+            if a1 < 0:
+                a1 = 0
+            b2 = e + pad
+            if b2 > clen:
+                b2 = clen
+            rref = cu[a1:b2]
+            alt_hap = cu[a1:s] + alt + cu[e:b2]
+            # NOTE: the reference checks valid chars on the FULL alt
+            # haplotype (src/main.rs:675-684), i.e. including the
+            # reference padding — an N in the padded reference sequence
+            # also skips the record.
+            invalid = bool(alt_hap) and (
+                bool(alt.translate(None, delete_tbl))
+                or padding_invalid(rec.chrom, a1, s, e, b2))
+            if invalid:
+                log.warning(
+                    "Variant at %s:%d has invalid alternative characters. "
+                    "This record will be ignored.", rec.chrom, rec.pos)
+                w.metrics.num_invalid_recs += 1
+                w.skipped = True
+                continue
+            w.rref = rref
+            w.alt_hap = alt_hap
     return works
 
 

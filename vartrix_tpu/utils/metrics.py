@@ -4,7 +4,7 @@ info level, src/main.rs:350-379)."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, fields
+from dataclasses import dataclass
 
 
 _FIELDS = ("num_reads", "num_low_mapq", "num_non_primary",
