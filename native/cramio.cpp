@@ -388,13 +388,15 @@ struct ExtTable {
 // encodings
 
 enum { C_NULL = 0, C_EXTERNAL = 1, C_GOLOMB = 2, C_HUFFMAN = 3,
-       C_BYTE_ARRAY_LEN = 4, C_BYTE_ARRAY_STOP = 5, C_BETA = 6 };
+       C_BYTE_ARRAY_LEN = 4, C_BYTE_ARRAY_STOP = 5, C_BETA = 6,
+       C_SUBEXP = 7, C_GOLOMB_RICE = 8, C_GAMMA = 9 };
 
 struct Encoding {
   int codec = C_NULL;
   int32_t content_id = 0;                       // EXTERNAL / BYTE_ARRAY_STOP
   uint8_t stop = 0;                             // BYTE_ARRAY_STOP
-  int32_t offset = 0, nbits = 0;                // BETA
+  int32_t offset = 0, nbits = 0;                // BETA / GAMMA / SUBEXP / GOLOMB
+  int32_t sub_k = 0, gol_m = 1;                 // SUBEXP k / GOLOMB m
   std::vector<int32_t> alphabet;                // HUFFMAN
   std::unordered_map<uint64_t, int32_t> codes;  // HUFFMAN (len<<32|code)
   bool single = false;
@@ -441,6 +443,15 @@ struct Encoding {
       int32_t vn = read_itf8(p, plen, off);
       val_enc = std::make_unique<Encoding>();
       val_enc->parse(vc, p + off, (size_t)vn);
+    } else if (c == C_GAMMA) {
+      offset = read_itf8(p, plen, off);
+    } else if (c == C_SUBEXP) {
+      offset = read_itf8(p, plen, off);
+      sub_k = read_itf8(p, plen, off);
+    } else if (c == C_GOLOMB || c == C_GOLOMB_RICE) {
+      offset = read_itf8(p, plen, off);
+      gol_m = read_itf8(p, plen, off);
+      if (gol_m <= 0) throw CramError("golomb m must be positive");
     } else if (c == C_BYTE_ARRAY_STOP) {
       stop = p[0];
       size_t o = 1;
@@ -466,6 +477,46 @@ struct Encoding {
       throw CramError("bad huffman stream");
     }
     if (codec == C_BETA) return (int32_t)core.read_bits(nbits) - offset;
+    if (codec == C_GAMMA) {
+      // Elias gamma of (value + offset): z zeros, then z+1-bit binary
+      int z = 0;
+      while (core.read_bits(1) == 0) {
+        if (++z > 31) throw CramError("bad gamma stream");
+      }
+      uint64_t v = (1ull << z) | (z ? core.read_bits(z) : 0);
+      return (int32_t)v - offset;
+    }
+    if (codec == C_SUBEXP) {
+      int n = 0;
+      while (core.read_bits(1) == 1) {
+        if (++n > 31) throw CramError("bad subexp stream");
+      }
+      uint64_t v;
+      if (n == 0) {
+        v = core.read_bits(sub_k);
+      } else {
+        int b = sub_k + n - 1;
+        if (b > 31) throw CramError("bad subexp stream");
+        v = (1ull << b) | core.read_bits(b);
+      }
+      return (int32_t)v - offset;
+    }
+    if (codec == C_GOLOMB || codec == C_GOLOMB_RICE) {
+      int64_t q = 0;
+      while (core.read_bits(1) == 1) {
+        if (++q > (1 << 20)) throw CramError("bad golomb stream");
+      }
+      int32_t m = gol_m;
+      int b = 0;
+      while ((1 << b) < m) ++b;  // ceil(log2 m)
+      int64_t r = 0;
+      if (b) {
+        int64_t t = ((int64_t)1 << b) - m;
+        r = core.read_bits(b - 1);
+        if (r >= t) r = ((r << 1) | core.read_bits(1)) - t;
+      }
+      return (int32_t)(q * m + r) - offset;
+    }
     throw CramError("int read from codec " + std::to_string(codec));
   }
 

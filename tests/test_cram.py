@@ -248,3 +248,43 @@ def test_cram_pipeline_with_real_crai_matches_golden(tmp_path):
            "--host", "python"])
     assert read_matrix_market(str(out)).to_canonical() == \
         read_matrix_market(f"{T}/test_consensus.mtx").to_canonical()
+
+
+def test_exotic_int_codecs_roundtrip():
+    """GAMMA / SUBEXP / GOLOMB bit codecs: encoder (BitWriter helpers)
+    and decoder (Encoding.read_int) must round-trip across value ranges
+    including 0, powers of two, and truncated-binary boundaries."""
+    from vartrix_tpu.io.cram import (BitReader, BitWriter, Encoding,
+                                     enc_gamma, enc_golomb, enc_subexp,
+                                     gamma_write, golomb_write, read_itf8,
+                                     subexp_write)
+
+    def parse_enc(blob):
+        codec, off = read_itf8(blob, 0)
+        plen, off = read_itf8(blob, off)
+        return Encoding(codec, blob[off : off + plen])
+
+    vals = (list(range(0, 33)) + [63, 64, 65, 127, 128, 255, 256, 1000,
+                                  4095, 4096, 65535, 65536, 1 << 20])
+    for offset in (1, 5):
+        bw = BitWriter()
+        for v in vals:
+            gamma_write(bw, v, offset)
+        br = BitReader(bw.getvalue())
+        e = parse_enc(enc_gamma(offset))
+        assert [e.read_int(br, {}) for _ in vals] == vals
+    for k in (0, 1, 2, 5, 8):
+        bw = BitWriter()
+        for v in vals:
+            subexp_write(bw, v, 0, k)
+        br = BitReader(bw.getvalue())
+        e = parse_enc(enc_subexp(0, k))
+        assert [e.read_int(br, {}) for _ in vals] == vals
+    small = [v for v in vals if v < 5000]
+    for m in (1, 2, 3, 5, 8, 16, 100):
+        bw = BitWriter()
+        for v in small:
+            golomb_write(bw, v, 0, m)
+        br = BitReader(bw.getvalue())
+        e = parse_enc(enc_golomb(0, m))
+        assert [e.read_int(br, {}) for _ in small] == small

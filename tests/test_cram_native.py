@@ -323,3 +323,26 @@ def test_native_bzip2_lzma_blocks(dataset, tmp_path, method):
     nat = _cram_native_vs_python(cram, dataset["fasta"], tmp_path, method)
     orig = ColumnarBam(dataset["bam"])
     _columns_equal(nat, orig)
+
+
+def test_native_exotic_codec_profile(dataset, tmp_path):
+    """codec_profile='exotic': GAMMA (FN/DL), SUBEXP (MQ/RS), GOLOMB
+    (FP deltas) core-bit codecs on top of the mixed profile — native
+    decode == Python oracle == original BAM."""
+    b = BamReader(dataset["bam"])
+    cram = str(tmp_path / "x.cram")
+    write_cram(cram, list(zip(b.ref_names, b.ref_lens)), b.records(),
+               fasta_path=dataset["fasta"], codec_profile="exotic")
+    nat = _cram_native_vs_python(cram, dataset["fasta"], tmp_path, "x")
+    orig = ColumnarBam(dataset["bam"])
+    _columns_equal(nat, orig)
+
+
+def test_native_exotic_multislice_verbatim(dataset, tmp_path):
+    # exotic codecs + multi-slice + no-reference profile
+    b = BamReader(dataset["bam"])
+    cram = str(tmp_path / "xv.cram")
+    write_cram(cram, list(zip(b.ref_names, b.ref_lens)), b.records(),
+               codec_profile="exotic", slices_per_container=2,
+               records_per_container=500)
+    _cram_native_vs_python(cram, None, tmp_path, "xv")

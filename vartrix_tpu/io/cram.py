@@ -11,7 +11,9 @@ Supported block compression methods: raw, gzip, rANS 4x8 (order 0 and
 here; the native decoder links libbz2/liblzma).
 
 Supported data-series codecs: EXTERNAL, HUFFMAN (canonical, incl. the
-0-bit single-symbol case), BETA, BYTE_ARRAY_LEN, BYTE_ARRAY_STOP.
+0-bit single-symbol case), BETA, GAMMA, SUBEXP, GOLOMB(_RICE),
+BYTE_ARRAY_LEN, BYTE_ARRAY_STOP — the full CRAM 3.0 integer-codec set;
+the writer can emit them too (codec_profile="mixed"/"exotic").
 
 The writer emits a deliberately simple, legal profile (everything
 EXTERNAL, gzip blocks) used by tests and tooling; the reader handles
@@ -571,6 +573,18 @@ class Encoding:
             off = 0
             self.offset, off = read_itf8(p, off)
             self.nbits, off = read_itf8(p, off)
+        elif codec == C_GAMMA:
+            self.offset, _ = read_itf8(p, 0)
+        elif codec == C_SUBEXP:
+            off = 0
+            self.offset, off = read_itf8(p, off)
+            self.k, off = read_itf8(p, off)
+        elif codec == C_GOLOMB or codec == C_GOLOMB_RICE:
+            off = 0
+            self.offset, off = read_itf8(p, off)
+            self.m, off = read_itf8(p, off)
+            if self.m <= 0:
+                raise ValueError("golomb m must be positive")
         elif codec == C_BYTE_ARRAY_LEN:
             off = 0
             lc, off = read_itf8(p, off)
@@ -605,6 +619,41 @@ class Encoding:
                     raise ValueError("bad huffman stream")
         if self.codec == C_BETA:
             return core.read_bits(self.nbits) - self.offset
+        if self.codec == C_GAMMA:
+            # Elias gamma of (value + offset): z zeros, then the z+1-bit
+            # binary of the value (MSB 1 is the terminator)
+            z = 0
+            while core.read_bits(1) == 0:
+                z += 1
+            v = (1 << z) | (core.read_bits(z) if z else 0)
+            return v - self.offset
+        if self.codec == C_SUBEXP:
+            # n ones + 0; n == 0 -> k-bit value, else (k+n-1)-bit value
+            # with the implicit top bit (htslib cram_codecs semantics)
+            n = 0
+            while core.read_bits(1) == 1:
+                n += 1
+            if n == 0:
+                v = core.read_bits(self.k)
+            else:
+                b = self.k + n - 1
+                v = (1 << b) | core.read_bits(b)
+            return v - self.offset
+        if self.codec in (C_GOLOMB, C_GOLOMB_RICE):
+            # unary quotient (ones then 0) + truncated-binary remainder
+            q = 0
+            while core.read_bits(1) == 1:
+                q += 1
+            m = self.m
+            b = (m - 1).bit_length()
+            t = (1 << b) - m
+            if b == 0:  # m == 1: no remainder bits
+                r = 0
+            else:
+                r = core.read_bits(b - 1)
+                if r >= t:
+                    r = ((r << 1) | core.read_bits(1)) - t
+            return q * m + r - self.offset
         raise NotImplementedError(f"int read from codec {self.codec}")
 
     def read_byte(self, core: BitReader, ext: Dict[int, "ExtStream"]) -> int:
@@ -694,6 +743,61 @@ def enc_huffman(lens_by_symbol: Dict[int, int]) -> bytes:
 def enc_beta(offset: int, nbits: int) -> bytes:
     p = write_itf8(offset) + write_itf8(nbits)
     return write_itf8(C_BETA) + write_itf8(len(p)) + p
+
+
+def enc_gamma(offset: int) -> bytes:
+    p = write_itf8(offset)
+    return write_itf8(C_GAMMA) + write_itf8(len(p)) + p
+
+
+def enc_subexp(offset: int, k: int) -> bytes:
+    p = write_itf8(offset) + write_itf8(k)
+    return write_itf8(C_SUBEXP) + write_itf8(len(p)) + p
+
+
+def enc_golomb(offset: int, m: int) -> bytes:
+    p = write_itf8(offset) + write_itf8(m)
+    return write_itf8(C_GOLOMB) + write_itf8(len(p)) + p
+
+
+def gamma_write(core: "BitWriter", v: int, offset: int) -> None:
+    u = v + offset
+    if u < 1:
+        raise ValueError("gamma value + offset must be >= 1")
+    z = u.bit_length() - 1
+    core.write_bits(0, z)
+    core.write_bits(u, z + 1)
+
+
+def subexp_write(core: "BitWriter", v: int, offset: int, k: int) -> None:
+    u = v + offset
+    if u < 0:
+        raise ValueError("subexp value + offset must be >= 0")
+    if u < (1 << k):
+        core.write_bits(0, 1)
+        core.write_bits(u, k)
+    else:
+        b = u.bit_length() - 1
+        n = b - k + 1
+        core.write_bits((1 << n) - 1, n)
+        core.write_bits(0, 1)
+        core.write_bits(u & ((1 << b) - 1), b)
+
+
+def golomb_write(core: "BitWriter", v: int, offset: int, m: int) -> None:
+    u = v + offset
+    if u < 0:
+        raise ValueError("golomb value + offset must be >= 0")
+    q, r = divmod(u, m)
+    core.write_bits((1 << q) - 1, q)
+    core.write_bits(0, 1)
+    b = (m - 1).bit_length()
+    if b:
+        t = (1 << b) - m
+        if r < t:
+            core.write_bits(r, b - 1)
+        else:
+            core.write_bits(r + t, b)
 
 
 class BitWriter:
@@ -1578,13 +1682,14 @@ def _write_data_container(chunk, counter, ref_fetch=None,
         for tag, _v in rec_tags:
             tag_cid((tag[0] << 16) | (tag[1] << 8) | ord("Z"))
 
-    # ---- mixed profile: build core-bit code tables --------------------
+    # ---- mixed/exotic profiles: build core-bit code tables ------------
     huff: Dict[str, Dict[int, Tuple[int, int]]] = {}
     huff_lens: Dict[str, Dict[int, int]] = {}
     beta: Dict[str, Tuple[int, int]] = {}
+    exotic: Dict[str, tuple] = {}  # key -> ("gamma",off)|("subexp",off,k)|("golomb",off,m)
     cb_len_codes = None
     cb_len_lens: Dict[int, int] = {}
-    if codec_profile == "mixed" and chunk:
+    if codec_profile in ("mixed", "exotic") and chunk:
         from collections import Counter
 
         def add_huff(key, freqs):
@@ -1603,7 +1708,16 @@ def _write_data_container(chunk, counter, ref_fetch=None,
         if cb_freqs:
             cb_len_lens = huffman_code_lengths(cb_freqs)
             cb_len_codes = canonical_codes(cb_len_lens)
-    elif codec_profile != "external" and codec_profile != "mixed":
+        if codec_profile == "exotic":
+            # the spec's remaining int codecs, on series whose value
+            # ranges suit them: MQ/RS subexponential, FN/DL gamma
+            # (FN can be 0 -> offset 1; DL >= 1), FP-delta golomb
+            exotic["MQ"] = ("subexp", 0, 5)
+            exotic["RS"] = ("subexp", 0, 4)
+            exotic["FN"] = ("gamma", 1)
+            exotic["DL"] = ("gamma", 0)
+            exotic["FP"] = ("golomb", 0, 16)
+    elif codec_profile != "external":
         raise ValueError(f"unknown codec_profile {codec_profile!r}")
 
     CB_TKEY = (ord("C") << 16) | (ord("B") << 8) | ord("Z")
@@ -1622,6 +1736,14 @@ def _write_data_container(chunk, counter, ref_fetch=None,
             elif key in beta:
                 boff, nb = beta[key]
                 core.write_bits(v + boff, nb)
+            elif key in exotic:
+                spec = exotic[key]
+                if spec[0] == "gamma":
+                    gamma_write(core, v, spec[1])
+                elif spec[0] == "subexp":
+                    subexp_write(core, v, spec[1], spec[2])
+                else:
+                    golomb_write(core, v, spec[1], spec[2])
             else:
                 streams[key] += write_itf8(v)
 
@@ -1701,11 +1823,16 @@ def _write_data_container(chunk, counter, ref_fetch=None,
                     elif op == 6:
                         feats.append(("P", rp, ln))
                 wi("FN", len(feats))
+                # two passes matching the decoders' core-bit order (spec
+                # 8.4 / htslib cram_decode): ALL (FC, FP) pairs first,
+                # then the payload series — matters when FP and a
+                # payload series are both core-bit coded
                 prev = 0
                 for c, fp, payload in feats:
                     wb("FC", ord(c))
                     wi("FP", fp - prev)
                     prev = fp
+                for c, fp, payload in feats:
                     if c == "b":
                         warr("BB", payload)
                     elif c == "X":
@@ -1762,13 +1889,25 @@ def _write_data_container(chunk, counter, ref_fetch=None,
     enc_entries = bytearray()
     n_enc = 0
     for key, sid in _SERIES_IDS.items():
-        if key not in used and key not in ("FN",):
+        # core-coded series carry no external stream, so their entries
+        # must be emitted unconditionally
+        if (key not in used and key not in ("FN",)
+                and key not in huff and key not in beta
+                and key not in exotic):
             if key not in ("BF", "CF", "RI", "RL", "AP", "RG", "TL"):
                 continue
         if key in huff:
             enc = enc_huffman(huff_lens[key])
         elif key in beta:
             enc = enc_beta(*beta[key])
+        elif key in exotic:
+            spec = exotic[key]
+            if spec[0] == "gamma":
+                enc = enc_gamma(spec[1])
+            elif spec[0] == "subexp":
+                enc = enc_subexp(spec[1], spec[2])
+            else:
+                enc = enc_golomb(spec[1], spec[2])
         elif key in ("RN", "BB", "QQ", "IN", "SC"):
             enc = enc_byte_array_stop(0, sid)
         else:
