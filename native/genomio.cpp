@@ -22,6 +22,7 @@
 #include <unistd.h>
 #include <zlib.h>
 
+#include <array>
 #include <atomic>
 #include <charconv>
 #include <cmath>
@@ -976,13 +977,14 @@ int32_t gio_gather_padded_packed(const uint8_t* pool, const int64_t* seq_off,
                                  const int64_t* read_ids, int64_t n,
                                  int32_t lx, uint8_t* out, int32_t* lens,
                                  int n_threads) {
-  static uint8_t lut[256];
-  static bool lut_init = false;
-  if (!lut_init) {
-    memset(lut, 0xFF, sizeof lut);
-    for (int i = 0; i < 16; ++i) lut[(uint8_t)SEQ_NT16[i]] = (uint8_t)i;
-    lut_init = true;
-  }
+  if (lx % 2) return -1;  // rows are lx/2 bytes; odd lx would overflow
+  // thread-safe one-time init (C++11 static local initialization)
+  static const auto lut = [] {
+    std::array<uint8_t, 256> t;
+    t.fill(0xFF);
+    for (int i = 0; i < 16; ++i) t[(uint8_t)SEQ_NT16[i]] = (uint8_t)i;
+    return t;
+  }();
   int32_t half = lx / 2;
   std::atomic<int32_t> bad{0};
   parallel_chunks(n, n_threads, [&](int64_t lo, int64_t hi) {
