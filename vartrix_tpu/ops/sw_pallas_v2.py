@@ -887,15 +887,17 @@ def _pack4_enabled(x, packed_entry) -> bool:
             and os.environ.get("VARTRIX_PACK4", "1") != "0")
 
 
-def _pair_chunks(x, hap_mat, idx_ref, idx_alt, entry, unroll,
-                 packed_entry=None, packed2_entry=None):
-    """Shared chunking for the chained-pair entries: each chunk ships
-    R read rows (one lane per read) + interleaved hap indices. When the
-    read source offers a packed gather (fast_pipeline provider) and a
-    packed entry exists, reads ship as 4-bit codes + lengths (half the
-    transfer); with a PackedHaps hap matrix and a packed2 entry, the
-    per-bucket hap upload is halved too. Falls back per-call if the
-    packed gather declines (foreign alphabet)."""
+def _chunked_pair_dispatch(x, hap_mat, idx_ref, idx_alt, entry, unroll,
+                           packed_entry, packed2_entry, bp_of):
+    """Shared chunk-dispatch body for the chained-pair and quad entries:
+    each chunk ships read rows + interleaved hap indices; `bp_of(n)`
+    quantizes the padded row count for the target kernel's lane
+    geometry. When the read source offers a packed gather
+    (fast_pipeline provider) and a packed entry exists, reads ship as
+    4-bit codes + lengths (half the transfer); with a PackedHaps hap
+    matrix and a packed2 entry, the per-bucket hap upload is halved
+    too. Falls back per-call if the packed gather declines (foreign
+    alphabet)."""
     provider = callable(x)
     packed = _pack4_enabled(x, packed_entry)
     ph = hap_mat if isinstance(hap_mat, PackedHaps) else None
@@ -918,7 +920,7 @@ def _pair_chunks(x, hap_mat, idx_ref, idx_alt, entry, unroll,
     start = 0
     while start < R:
         n = min(half, R - start)
-        bp = max(_quantized_batch(2 * n) // 2, LANES)
+        bp = bp_of(n)
         idx2 = np.zeros(2 * bp, dtype=np.int32)
         idx2[0 : 2 * n : 2] = idx_ref[start : start + n]
         idx2[1 : 2 * n : 2] = idx_alt[start : start + n]
@@ -949,6 +951,16 @@ def _pair_chunks(x, hap_mat, idx_ref, idx_alt, entry, unroll,
         spans.append((start, n))
         start += n
     return results, spans
+
+
+def _pair_chunks(x, hap_mat, idx_ref, idx_alt, entry, unroll,
+                 packed_entry=None, packed2_entry=None):
+    """Chained-pair chunking (one lane per read): rows quantized to
+    whole LANES groups."""
+    return _chunked_pair_dispatch(
+        x, hap_mat, idx_ref, idx_alt, entry, unroll, packed_entry,
+        packed2_entry,
+        bp_of=lambda n: max(_quantized_batch(2 * n) // 2, LANES))
 
 
 def sw_calls_pair_chained_tpu(x, hap_mat: np.ndarray,
@@ -1237,70 +1249,22 @@ def _sw_pair_quad_calls_packed2(xp: jax.Array, xlen: jax.Array,
                                interpret=interpret, unroll=unroll)
 
 
+def _quad_bp(n: int) -> int:
+    """Quad batch quantization: power-of-two padded (>= 2*LANES, so
+    lanes pair up) — tail chunks reuse log2-many compiled shapes across
+    datasets — then rounded to 2*LANES so lanes = bp/2 stay whole lane
+    groups even when _quantized_batch's cap (= a VARTRIX_CHUNK
+    override) is not a power of two."""
+    bp = max(_quantized_batch(2 * n) // 2, 2 * LANES)
+    return -(-bp // (2 * LANES)) * (2 * LANES)
+
+
 def _pair2_chunks(x, hap_mat, idx_ref, idx_alt, entry, unroll,
                   packed_entry=None, packed2_entry=None):
-    """Chunking for the quad entries: batches quantized so lanes (= half
-    the padded read count) fill whole LANES groups. Packed-transfer
-    dispatch as in _pair_chunks."""
-    provider = callable(x)
-    packed = _pack4_enabled(x, packed_entry)
-    ph = hap_mat if isinstance(hap_mat, PackedHaps) else None
-    R, lx = x.shape
-    ly = hap_mat.shape[1]
-    interpret = not _on_tpu()
-    dense_dev = None
-
-    def hap_dense():
-        nonlocal dense_dev
-        if dense_dev is None:
-            dense_dev = jnp.asarray(np.asarray(hap_mat))
-        return dense_dev
-
-    hp_dev = None
-    if packed and ph is not None and packed2_entry is not None and ly % 2 == 0:
-        hp_dev = (jnp.asarray(ph.packed), jnp.asarray(ph.lens))
-    results, spans = [], []
-    half = _chunk() // 2
-    start = 0
-    while start < R:
-        n = min(half, R - start)
-        # power-of-two quantized (>= 2*LANES, so lanes pair up): tail
-        # chunks reuse log2-many compiled shapes across datasets.
-        # The final rounding to 2*LANES keeps lanes = bp/2 whole lane
-        # groups even when _quantized_batch's cap (= a VARTRIX_CHUNK
-        # override) is not a power of two.
-        bp = max(_quantized_batch(2 * n) // 2, 2 * LANES)
-        bp = -(-bp // (2 * LANES)) * (2 * LANES)
-        idx2 = np.zeros(2 * bp, dtype=np.int32)
-        idx2[0 : 2 * n : 2] = idx_ref[start : start + n]
-        idx2[1 : 2 * n : 2] = idx_alt[start : start + n]
-        got = x.packed(start, n) if packed else None
-        if got is not None:
-            xg, lg = got
-            xc = np.zeros((bp, lx // 2), dtype=np.uint8)
-            xc[:n] = xg
-            xl = np.zeros(bp, dtype=np.int32)
-            xl[:n] = lg
-            if hp_dev is not None:
-                results.append(packed2_entry(
-                    jnp.asarray(xc), jnp.asarray(xl), hp_dev[0], hp_dev[1],
-                    jnp.asarray(idx2), lx=lx, ly=ly, interpret=interpret,
-                    unroll=unroll))
-            else:
-                results.append(packed_entry(
-                    jnp.asarray(xc), jnp.asarray(xl), hap_dense(),
-                    jnp.asarray(idx2), lx=lx, ly=ly, interpret=interpret,
-                    unroll=unroll))
-        else:
-            packed = False  # alphabet fallback: stay unpacked from here
-            xc = np.zeros((bp, lx), dtype=np.uint8)
-            xc[:n] = x(start, n) if provider else x[start : start + n]
-            results.append(entry(jnp.asarray(xc), hap_dense(),
-                                 jnp.asarray(idx2), lx=lx, ly=ly,
-                                 interpret=interpret, unroll=unroll))
-        spans.append((start, n))
-        start += n
-    return results, spans
+    """Quad-entry chunking (two reads per lane): see _quad_bp."""
+    return _chunked_pair_dispatch(
+        x, hap_mat, idx_ref, idx_alt, entry, unroll, packed_entry,
+        packed2_entry, bp_of=_quad_bp)
 
 
 def sw_calls_pair_quad_tpu(x, hap_mat: np.ndarray,
