@@ -17,10 +17,12 @@ cores). The reference publishes no numbers (BASELINE.md), so the baseline
 is self-measured on this host; per-core normalization is printed so the
 number travels across host sizes.
 
-Context metrics on stderr: CPU-vs-TPU end-to-end pipeline comparison with
->=3 repetitions per arm (median reported), per-phase decomposition from
---metrics-json, and an estimated device-vs-transfer split of the score
-phase.
+Context metrics on stderr and in the JSON line: the CPU-vs-TPU
+end-to-end comparison (5 interleaved fresh-dataset rep pairs, slowest
+rep per arm dropped; median-, best-, and paired-ratio views all
+reported — see bench_e2e for the weather rationale), per-phase
+decomposition from --metrics-json, an estimated device-vs-transfer
+split of the score phase, and the 100k-loci cohort variants/s.
 
 Note on timing: the axon TPU relay caches identical computations and its
 block_until_ready is unreliable, so every timed step consumes a unique
