@@ -346,3 +346,25 @@ def test_native_exotic_multislice_verbatim(dataset, tmp_path):
                codec_profile="exotic", slices_per_container=2,
                records_per_container=500)
     _cram_native_vs_python(cram, None, tmp_path, "xv")
+
+
+def test_native_cram_cli_golden_exotic(tmp_path):
+    """Full pipeline over an exotic-codec CRAM (GAMMA/SUBEXP/GOLOMB core
+    bits + mixed HUFFMAN/BETA) == BAM golden."""
+    from vartrix_tpu.driver import _main
+    from vartrix_tpu.io.cram import write_crai
+    from vartrix_tpu.io.matrix_market import read_matrix_market
+
+    T = "/root/reference/test"
+    b = BamReader(f"{T}/test.bam")
+    cram = str(tmp_path / "tx.cram")
+    write_cram(cram, list(zip(b.ref_names, b.ref_lens)), b.records(),
+               fasta_path=f"{T}/test.fa", codec_profile="exotic")
+    write_crai(cram, fasta_path=f"{T}/test.fa")
+    out = str(tmp_path / "out.mtx")
+    _main(["-v", f"{T}/test.vcf", "-b", cram, "-f", f"{T}/test.fa",
+           "-c", f"{T}/barcodes.tsv", "-o", out,
+           "--host", "native", "--backend", "cpu"])
+    a = read_matrix_market(out).to_canonical()
+    g = read_matrix_market(f"{T}/test_consensus.mtx").to_canonical()
+    assert a == g
