@@ -269,3 +269,40 @@ def test_packed_transfer_matches_unpacked(tmp_path, monkeypatch):
         monkeypatch.setenv("VARTRIX_PACK4", "0")
         got3 = fn(prov, ph, idx_ref, idx_alt)
         np.testing.assert_array_equal(got3, exp)
+
+
+@pytest.mark.parametrize("env", [
+    {},                                     # production: fused + packed
+    {"VARTRIX_FUSED_CALLS": "0"},           # scores path + PackedHaps
+    {"VARTRIX_QUAD": "0"},                  # v5 chained + packed
+    {"VARTRIX_PACK4": "0"},                 # dense transfer
+    {"VARTRIX_PAIR": "0"},                  # compact protocol
+])
+def test_fast_pipeline_env_matrix(tmp_path, monkeypatch, env):
+    """Every dispatch-protocol combination must produce identical
+    matrices through the full fast pipeline (interpret-mode kernels on
+    CPU; the same dispatchers run compiled on TPU)."""
+    from vartrix_tpu.driver import _main
+
+    from vartrix_tpu.utils.synth import SynthConfig, generate_dataset
+
+    data = generate_dataset(str(tmp_path / "d"), SynthConfig(
+        n_variants=8, n_cells=25, reads_per_variant=25, seed=77,
+        spliced_frac=0.3, indel_frac=0.2))
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    out = str(tmp_path / "o.mtx")
+    _main(["-v", data["vcf"], "-b", data["bam"], "-f", data["fasta"],
+           "-c", data["barcodes"], "-o", out, "--umi", "-s", "coverage",
+           "--ref-matrix", str(tmp_path / "r.mtx"),
+           "--host", "native", "--backend", "tpu"])
+    for k in env:
+        monkeypatch.delenv(k)
+    ref = str(tmp_path / "o_ref.mtx")
+    _main(["-v", data["vcf"], "-b", data["bam"], "-f", data["fasta"],
+           "-c", data["barcodes"], "-o", ref, "--umi", "-s", "coverage",
+           "--ref-matrix", str(tmp_path / "rr.mtx"),
+           "--host", "native", "--backend", "cpu"])
+    assert open(out).read() == open(ref).read()
+    assert (open(str(tmp_path / "r.mtx")).read()
+            == open(str(tmp_path / "rr.mtx")).read())
