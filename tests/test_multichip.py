@@ -301,6 +301,26 @@ def test_cli_mesh_devices_matches_golden(tmp_path):
         read_matrix_market(f"{T}/test_consensus.mtx").to_canonical()
 
 
+def test_cli_mesh_devices_umi_coverage_matches_golden(tmp_path):
+    """--mesh-devices with --umi -s coverage: mesh scoring + host UMI
+    consensus aggregation must stay golden-equal on BOTH output matrices
+    (VERDICT r4 #8 — pins the mesh+UMI composition at the CLI)."""
+    from vartrix_tpu.driver import _main
+    from vartrix_tpu.io.matrix_market import read_matrix_market
+
+    T = "/root/reference/test"
+    out = tmp_path / "mesh_umi.mtx"
+    ref = tmp_path / "mesh_umi_ref.mtx"
+    _main(["-v", f"{T}/test.vcf", "-b", f"{T}/test.bam", "-f", f"{T}/test.fa",
+           "-c", f"{T}/barcodes.tsv", "-o", str(out), "--umi",
+           "-s", "coverage", "--ref-matrix", str(ref), "--host", "native",
+           "--mesh-devices", "-1"])
+    assert read_matrix_market(str(out)).to_canonical() == \
+        read_matrix_market(f"{T}/test_coverage_umi.mtx").to_canonical()
+    assert read_matrix_market(str(ref)).to_canonical() == \
+        read_matrix_market(f"{T}/test_coverage_ref_umi.mtx").to_canonical()
+
+
 def test_streaming_merge_10m_nnz(tmp_path):
     """merge_partials is a streaming header-rewrite + body concat:
     seconds-scale at 10M nnz with exact content (VERDICT r2 #7)."""

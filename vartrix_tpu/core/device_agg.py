@@ -8,9 +8,11 @@ north-star design calls for. Partial counts from different pair shards
 merge by simple addition (psum across the mesh), because counts are
 linear in reads.
 
-The UMI consensus path stays host-side for now (it needs per-(cell,umi)
-grouping; exact and cheap on host) — the device path covers the non-UMI
-modes used for throughput-critical workloads.
+UMI consensus runs on device too (`umi_consensus_counts` below):
+per-(variant, cell, umi) calls are merged with segment-sums over dense
+group keys and the exact integer 4*count >= 3*total threshold. The host
+aggregator (core/agg_numpy.py) remains the default on relay-attached
+TPUs — see BASELINE.md's --device-agg A/B.
 """
 
 from __future__ import annotations

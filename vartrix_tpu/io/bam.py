@@ -237,9 +237,13 @@ class BamReader:
         with open(path, "rb") as f:
             raw = f.read()
         if raw[:4] == b"CRAM":
-            raise NotImplementedError(
-                f"{path}: CRAM input is not supported yet (planned); "
-                "convert to BAM")
+            # CRAM is supported, but via io.cram / native cramio — the
+            # driver routes there (driver.open_reads). Reaching BamReader
+            # with a CRAM file means a caller bypassed that routing.
+            raise ValueError(
+                f"{path}: is a CRAM file; BamReader only decodes BAM. "
+                "Use vartrix_tpu.io.cram (or the CLI, which routes by "
+                "file magic) instead.")
         if header_only:
             # inflate only until the full header (magic + SAM text + ref
             # list) is in hand: validation paths need names/lengths, not
