@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -201,6 +202,115 @@ def _chunk() -> int:
     return -(-n // (4 * LANES)) * (4 * LANES)
 
 
+# ---------------------------------------------------------------------------
+# VMEM budget guard (SURVEY §5.7 / VERDICT r4 #3): the wavefront kernels
+# hold the whole reversed-y window buffer in VMEM per 128-lane block, so
+# a multi-kb --padding (haplotype length ~ 2*padding) would hit a raw
+# Mosaic VMEM error. Each dispatcher estimates its per-block footprint
+# and degrades gracefully: quad (4ly) -> chained (2ly) -> two-lane pair
+# (1ly) -> threaded native CPU full SW (exact same scores by the kernel
+# parity tests). ~16 MB VMEM/core; the default budget leaves headroom
+# for Mosaic's grid double-buffering of the in/out blocks.
+# ---------------------------------------------------------------------------
+
+VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _vmem_budget() -> int:
+    env = os.environ.get("VARTRIX_VMEM_BUDGET")
+    if not env:
+        return VMEM_BUDGET
+    n = int(env)
+    if n <= 0:
+        raise ValueError(f"VARTRIX_VMEM_BUDGET must be positive, got {env}")
+    return n
+
+
+def vmem_fit(lx: int, ly: int, variant: str,
+             unroll: int = UNROLL_DEFAULT) -> bool:
+    """Whether one 128-lane block of the given kernel variant fits the
+    VMEM budget. Footprints (rows x 128 lanes x 4B int32): v4 carries
+    x(lx) + ybuf(pad+2lx+ly) + out(1) + 6 scratch(lx); v5 chains 2
+    segments (ybuf 2ly, 7 scratch, out 2); v6 chains 4 (x 2lx, ybuf
+    4ly, 9 scratch, out 4). In/out blocks are counted twice for the
+    grid pipeline's double buffering; scratch is allocated once."""
+    pad_top = unroll - 1
+    if variant == "v4":
+        rows_io = lx + (pad_top + 2 * lx + ly) + 1
+        rows_scratch = 6 * lx
+    elif variant == "v5":
+        rows_io = lx + (pad_top + 2 * lx + 2 * ly) + 2
+        rows_scratch = 7 * lx
+    elif variant == "v6":
+        rows_io = 2 * lx + (pad_top + 2 * lx + 4 * ly) + 4
+        rows_scratch = 9 * lx
+    else:
+        raise ValueError(f"unknown kernel variant {variant!r}")
+    return (2 * rows_io + rows_scratch) * LANES * 4 <= _vmem_budget()
+
+
+_vmem_warned = set()
+
+
+def _warn_vmem_fallback(lx: int, ly: int) -> None:
+    import logging
+
+    key = (lx, ly)
+    if key not in _vmem_warned:
+        _vmem_warned.add(key)
+        logging.getLogger("vartrix").warning(
+            "haplotype window %d x %d exceeds the TPU VMEM budget "
+            "(%d MiB); scoring this shape bucket on the threaded native "
+            "CPU aligner instead (identical scores). Large --padding "
+            "drives this; VARTRIX_VMEM_BUDGET overrides.",
+            lx, ly, _vmem_budget() // (1024 * 1024))
+
+
+def _materialize_reads(x) -> np.ndarray:
+    return np.asarray(x(0, x.shape[0]) if callable(x) else x)
+
+
+def _cpu_full_sw_flat(seqs, ys) -> np.ndarray:
+    """Score parallel lists of (read bytes, hap bytes) with the threaded
+    native full SW (NumPy oracle fallback) -> int32 [len(seqs)]."""
+    try:
+        from .sw_native import full_sw_batch_native, native_available
+        if native_available():
+            return np.asarray(
+                full_sw_batch_native(seqs, ys, os.cpu_count() or 1),
+                np.int32)
+    except ImportError:
+        pass
+    from .sw_numpy import sw_score_single
+    return np.array([sw_score_single(s, y) for s, y in zip(seqs, ys)],
+                    np.int32)
+
+
+def _cpu_full_sw_pairs(x, hap_mat, idx_ref: np.ndarray,
+                       idx_alt: np.ndarray, codes: bool) -> np.ndarray:
+    """Host fallback for pair shapes that exceed VMEM: threaded native
+    full SW (or the NumPy oracle) on the exact same (read, ref/alt hap)
+    pairs; returns the same int8 call codes / [R, 2] scores as the
+    device entries."""
+    xm = _materialize_reads(x)
+    hm = np.asarray(hap_mat)
+    xs = [bytes(row[row != 0]) for row in xm]
+    haps = [bytes(row[row != 1]) for row in hm]
+    seqs, ys = [], []
+    for i, (ir, ia) in enumerate(zip(idx_ref, idx_alt)):
+        seqs.append(xs[i])
+        ys.append(haps[ir])
+        seqs.append(xs[i])
+        ys.append(haps[ia])
+    scores = _cpu_full_sw_flat(seqs, ys).reshape(-1, 2)
+    if not codes:
+        return scores
+    ref, alt = scores[:, 0], scores[:, 1]
+    dropped = (ref < MIN_SCORE) & (alt < MIN_SCORE)
+    out = np.where(ref > alt, 1, np.where(alt > ref, 2, 3))
+    return np.where(dropped, 0, out).astype(np.int8)
+
+
 @functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
 def _sw_compact(x_u8: jax.Array, hap_mat: jax.Array, hap_idx: jax.Array,
                 *, lx: int, ly: int, interpret: bool,
@@ -251,6 +361,11 @@ def sw_scores_compact2_tpu(x_mat: np.ndarray, x_idx: np.ndarray,
     B = len(x_idx)
     lx = x_mat.shape[1]
     ly = hap_mat.shape[1]
+    if not vmem_fit(lx, ly, "v4", unroll):
+        _warn_vmem_fallback(lx, ly)
+        return _cpu_full_sw_flat(
+            [bytes(x_mat[i][x_mat[i] != 0]) for i in x_idx],
+            [bytes(hap_mat[i][hap_mat[i] != 1]) for i in hap_idx])
     interpret = not _on_tpu()
     x_dev = jnp.asarray(x_mat)
     hap_dev = jnp.asarray(hap_mat)
@@ -322,6 +437,9 @@ def sw_calls_pair_tpu(x, hap_mat: np.ndarray,
     provider = callable(x)
     R, lx = x.shape
     ly = hap_mat.shape[1]
+    if not vmem_fit(lx, ly, "v4", unroll):
+        _warn_vmem_fallback(lx, ly)
+        return _cpu_full_sw_pairs(x, hap_mat, idx_ref, idx_alt, codes=True)
     interpret = not _on_tpu()
     hap_dev = jnp.asarray(hap_mat)
     out = np.empty(R, dtype=np.int8)
@@ -362,6 +480,9 @@ def sw_scores_pair_tpu(x, hap_mat: np.ndarray,
     provider = callable(x)
     R, lx = x.shape
     ly = hap_mat.shape[1]
+    if not vmem_fit(lx, ly, "v4", unroll):
+        _warn_vmem_fallback(lx, ly)
+        return _cpu_full_sw_pairs(x, hap_mat, idx_ref, idx_alt, codes=False)
     interpret = not _on_tpu()
     hap_dev = jnp.asarray(hap_mat)
     out = np.empty((R, 2), dtype=np.int32)
@@ -396,6 +517,13 @@ def sw_scores_compact_tpu(x, hap_mat: np.ndarray,
     provider = callable(x)
     B, lx = x.shape
     ly = hap_mat.shape[1]
+    if not vmem_fit(lx, ly, "v4", unroll):
+        _warn_vmem_fallback(lx, ly)
+        xm = _materialize_reads(x)
+        hm = np.asarray(hap_mat)
+        return _cpu_full_sw_flat(
+            [bytes(r[r != 0]) for r in xm],
+            [bytes(hm[i][hm[i] != 1]) for i in hap_idx])
     interpret = not _on_tpu()
     hap_dev = jnp.asarray(hap_mat)
     out = np.empty(B, dtype=np.int32)
@@ -434,6 +562,10 @@ def sw_scores_batch_tpu_v2(x: np.ndarray, y: np.ndarray,
     set of compiled kernel shapes is bounded regardless of workload."""
     B, lx = x.shape
     ly = y.shape[1]
+    if not vmem_fit(lx, ly, "v4", unroll):
+        _warn_vmem_fallback(lx, ly)
+        return _cpu_full_sw_flat([bytes(r[r != 0]) for r in x],
+                                 [bytes(r[r != 1]) for r in y])
     interpret = not _on_tpu()
     out = np.empty(B, dtype=np.int32)
     start = 0
@@ -555,6 +687,13 @@ def make_mesh_scorer(n_devices: int = 0, unroll: int = UNROLL_DEFAULT):
         provider = callable(x)
         B, lx = x.shape
         ly = hap_mat.shape[1]
+        if not vmem_fit(lx, ly, "v4", unroll):
+            _warn_vmem_fallback(lx, ly)
+            xm = _materialize_reads(x)
+            hm = np.asarray(hap_mat)
+            return _cpu_full_sw_flat(
+                [bytes(r[r != 0]) for r in xm],
+                [bytes(hm[i][hm[i] != 1]) for i in hap_idx])
         hap_dev = jnp.asarray(hap_mat)
         out = np.empty(B, dtype=np.int32)
         results, spans = [], []
@@ -586,8 +725,15 @@ def make_mesh_scorer(n_devices: int = 0, unroll: int = UNROLL_DEFAULT):
         packed = _pack4_enabled(x, _sharded_pair_calls_packed)
         R, lx = x.shape
         ly = hap_mat.shape[1]
+        if not vmem_fit(lx, ly, "v5", unroll):
+            # no sharded two-lane (v4) wrapper exists; oversized windows
+            # go straight to the threaded host aligner
+            _warn_vmem_fallback(lx, ly)
+            return _cpu_full_sw_pairs(x, hap_mat, idx_ref, idx_alt,
+                                      codes=True)
         quad = (_os.environ.get("VARTRIX_QUAD", "1") != "0"
-                and quad_feasible(lx, ly, unroll))
+                and quad_feasible(lx, ly, unroll)
+                and vmem_fit(lx, ly, "v6", unroll))
         entry = _sharded_pair_calls_quad if quad else _sharded_pair_calls
         hap_dev = jnp.asarray(np.asarray(hap_mat))
         out = np.empty(R, dtype=np.int8)
@@ -887,6 +1033,28 @@ def _pack4_enabled(x, packed_entry) -> bool:
             and os.environ.get("VARTRIX_PACK4", "1") != "0")
 
 
+def _prefetch_depth() -> int:
+    """Chunks gathered/packed ahead of the device (VARTRIX_PREFETCH,
+    default 2; 0 = the pre-round-5 serial loop)."""
+    try:
+        return max(0, int(os.environ.get("VARTRIX_PREFETCH", "2")))
+    except ValueError:
+        return 2
+
+
+def _inflight() -> int:
+    """Concurrent device dispatches (VARTRIX_INFLIGHT, default 2):
+    overlaps chunk k+1's host->device transfer with chunk k's kernel.
+    The r5 A/B (tools/ab_prefetch.py, 4 interleaved fresh-dataset reps,
+    byte-equal outputs): score median serial 1.05s / prefetch-only 0.86s
+    / prefetch+2-in-flight 0.83s (min 0.66s) per 500k reads. 1 restores
+    single-threaded dispatch."""
+    try:
+        return max(1, int(os.environ.get("VARTRIX_INFLIGHT", "2")))
+    except ValueError:
+        return 2
+
+
 def _chunked_pair_dispatch(x, hap_mat, idx_ref, idx_alt, entry, unroll,
                            packed_entry, packed2_entry, bp_of):
     """Shared chunk-dispatch body for the chained-pair and quad entries:
@@ -897,59 +1065,114 @@ def _chunked_pair_dispatch(x, hap_mat, idx_ref, idx_alt, entry, unroll,
     4-bit codes + lengths (half the transfer); with a PackedHaps hap
     matrix and a packed2 entry, the per-bucket hap upload is halved
     too. Falls back per-call if the packed gather declines (foreign
-    alphabet)."""
+    alphabet).
+
+    The loop is PIPELINED: a producer thread gathers+packs chunk k+1..k+D
+    (D = VARTRIX_PREFETCH) while chunk k's dispatch round-trips through
+    the device/relay, so the native gather and the device execution
+    overlap instead of serializing (the round-4 profile put ~60-78% of
+    the score phase in transfer/dispatch). VARTRIX_INFLIGHT>1 additionally
+    dispatches from a small thread pool so consecutive chunks' transfers
+    and kernels overlap inside the backend."""
     provider = callable(x)
-    packed = _pack4_enabled(x, packed_entry)
+    packed_ok = _pack4_enabled(x, packed_entry)
     ph = hap_mat if isinstance(hap_mat, PackedHaps) else None
     R, lx = x.shape
     ly = hap_mat.shape[1]
     interpret = not _on_tpu()
     dense_dev = None
+    dense_lock = threading.Lock()
 
     def hap_dense():
         nonlocal dense_dev
-        if dense_dev is None:
-            dense_dev = jnp.asarray(np.asarray(hap_mat))
-        return dense_dev
+        with dense_lock:
+            if dense_dev is None:
+                dense_dev = jnp.asarray(np.asarray(hap_mat))
+            return dense_dev
 
     hp_dev = None
-    if packed and ph is not None and packed2_entry is not None and ly % 2 == 0:
+    if (packed_ok and ph is not None and packed2_entry is not None
+            and ly % 2 == 0):
         hp_dev = (jnp.asarray(ph.packed), jnp.asarray(ph.lens))
-    results, spans = [], []
+
     half = _chunk() // 2
+    spans = []
     start = 0
     while start < R:
         n = min(half, R - start)
+        spans.append((start, n))
+        start += n
+
+    # a shared hint so one declined packed gather (foreign alphabet)
+    # stops later chunks from re-attempting; races only cost one retry
+    state = {"packed": packed_ok}
+
+    def prep(span):
+        start, n = span
         bp = bp_of(n)
         idx2 = np.zeros(2 * bp, dtype=np.int32)
         idx2[0 : 2 * n : 2] = idx_ref[start : start + n]
         idx2[1 : 2 * n : 2] = idx_alt[start : start + n]
-        got = x.packed(start, n) if packed else None
+        got = x.packed(start, n) if state["packed"] else None
         if got is not None:
             xg, lg = got
             xc = np.zeros((bp, lx // 2), dtype=np.uint8)
             xc[:n] = xg
             xl = np.zeros(bp, dtype=np.int32)
             xl[:n] = lg
+            return (xc, xl, idx2)
+        state["packed"] = False
+        xc = np.zeros((bp, lx), dtype=np.uint8)
+        xc[:n] = x(start, n) if provider else x[start : start + n]
+        return (xc, None, idx2)
+
+    def dispatch(prepped):
+        xc, xl, idx2 = prepped
+        if xl is not None:
             if hp_dev is not None:
-                results.append(packed2_entry(
+                return packed2_entry(
                     jnp.asarray(xc), jnp.asarray(xl), hp_dev[0], hp_dev[1],
                     jnp.asarray(idx2), lx=lx, ly=ly, interpret=interpret,
-                    unroll=unroll))
-            else:
-                results.append(packed_entry(
-                    jnp.asarray(xc), jnp.asarray(xl), hap_dense(),
-                    jnp.asarray(idx2), lx=lx, ly=ly, interpret=interpret,
-                    unroll=unroll))
+                    unroll=unroll)
+            return packed_entry(
+                jnp.asarray(xc), jnp.asarray(xl), hap_dense(),
+                jnp.asarray(idx2), lx=lx, ly=ly, interpret=interpret,
+                unroll=unroll)
+        return entry(jnp.asarray(xc), hap_dense(), jnp.asarray(idx2),
+                     lx=lx, ly=ly, interpret=interpret, unroll=unroll)
+
+    depth = _prefetch_depth()
+    if depth == 0 or len(spans) == 1:
+        return [dispatch(prep(s)) for s in spans], spans
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = _inflight()
+    results = [None] * len(spans)
+    with ThreadPoolExecutor(max_workers=1) as prep_ex:
+        preps = {}
+        for i in range(min(depth, len(spans))):
+            preps[i] = prep_ex.submit(prep, spans[i])
+
+        def run(i):
+            results[i] = dispatch(preps.pop(i).result())
+
+        if workers == 1:
+            for i in range(len(spans)):
+                if (nxt := i + depth) < len(spans):
+                    preps[nxt] = prep_ex.submit(prep, spans[nxt])
+                run(i)
         else:
-            packed = False  # alphabet fallback: stay unpacked from here
-            xc = np.zeros((bp, lx), dtype=np.uint8)
-            xc[:n] = x(start, n) if provider else x[start : start + n]
-            results.append(entry(jnp.asarray(xc), hap_dense(),
-                                 jnp.asarray(idx2), lx=lx, ly=ly,
-                                 interpret=interpret, unroll=unroll))
-        spans.append((start, n))
-        start += n
+            with ThreadPoolExecutor(max_workers=workers) as disp_ex:
+                pending = []
+                for i in range(len(spans)):
+                    if (nxt := i + depth) < len(spans):
+                        preps[nxt] = prep_ex.submit(prep, spans[nxt])
+                    pending.append(disp_ex.submit(run, i))
+                    while len(pending) >= workers:
+                        pending.pop(0).result()
+                for f in pending:
+                    f.result()
     return results, spans
 
 
@@ -967,6 +1190,8 @@ def sw_calls_pair_chained_tpu(x, hap_mat: np.ndarray,
                               idx_ref: np.ndarray, idx_alt: np.ndarray,
                               unroll: int = UNROLL_DEFAULT) -> np.ndarray:
     """Chained-lane flavor of sw_calls_pair_tpu (VARTRIX_CHAINED=1)."""
+    if not vmem_fit(x.shape[1], hap_mat.shape[1], "v5", unroll):
+        return sw_calls_pair_tpu(x, hap_mat, idx_ref, idx_alt, unroll)
     out = np.empty(x.shape[0], dtype=np.int8)
     results, spans = _pair_chunks(
         x, hap_mat, idx_ref, idx_alt, _sw_pair_chained_calls, unroll,
@@ -981,6 +1206,8 @@ def sw_scores_pair_chained_tpu(x, hap_mat: np.ndarray,
                                idx_ref: np.ndarray, idx_alt: np.ndarray,
                                unroll: int = UNROLL_DEFAULT) -> np.ndarray:
     """Chained-lane flavor of sw_scores_pair_tpu -> int32 [R, 2]."""
+    if not vmem_fit(x.shape[1], hap_mat.shape[1], "v5", unroll):
+        return sw_scores_pair_tpu(x, hap_mat, idx_ref, idx_alt, unroll)
     out = np.empty((x.shape[0], 2), dtype=np.int32)
     results, spans = _pair_chunks(x, hap_mat, idx_ref, idx_alt,
                                   _sw_pair_chained, unroll)
@@ -1271,8 +1498,10 @@ def sw_calls_pair_quad_tpu(x, hap_mat: np.ndarray,
                            idx_ref: np.ndarray, idx_alt: np.ndarray,
                            unroll: int = UNROLL_DEFAULT) -> np.ndarray:
     """Quad-chain flavor of sw_calls_pair_chained_tpu (VARTRIX_QUAD=1);
-    falls back to the v5 chained path when the phase windows overlap."""
-    if not quad_feasible(x.shape[1], hap_mat.shape[1], unroll):
+    falls back to the v5 chained path when the phase windows overlap or
+    the 4-segment window buffer would exceed VMEM."""
+    if (not quad_feasible(x.shape[1], hap_mat.shape[1], unroll)
+            or not vmem_fit(x.shape[1], hap_mat.shape[1], "v6", unroll)):
         return sw_calls_pair_chained_tpu(x, hap_mat, idx_ref, idx_alt,
                                          unroll=unroll)
     out = np.empty(x.shape[0], dtype=np.int8)
@@ -1289,7 +1518,8 @@ def sw_scores_pair_quad_tpu(x, hap_mat: np.ndarray,
                             idx_ref: np.ndarray, idx_alt: np.ndarray,
                             unroll: int = UNROLL_DEFAULT) -> np.ndarray:
     """Quad-chain flavor of sw_scores_pair_chained_tpu -> int32 [R, 2]."""
-    if not quad_feasible(x.shape[1], hap_mat.shape[1], unroll):
+    if (not quad_feasible(x.shape[1], hap_mat.shape[1], unroll)
+            or not vmem_fit(x.shape[1], hap_mat.shape[1], "v6", unroll)):
         return sw_scores_pair_chained_tpu(x, hap_mat, idx_ref, idx_alt,
                                           unroll=unroll)
     out = np.empty((x.shape[0], 2), dtype=np.int32)
@@ -1644,6 +1874,17 @@ def make_banded_tpu_scorer(n_threads: int = 1, k: int = 6, w: int = 20):
         interpret = not _on_tpu()
         xs = [bytes(row[row != 0]) for row in x]
         ys = [bytes(row[row != 1]) for row in y]
+        # VMEM guard: banded blocks add two [lx, 128] bound planes to the
+        # v4 footprint; oversized windows run on the native CPU banded
+        # aligner (bit-identical — the TPU banded kernel is cross-tested
+        # equal to it)
+        rows_io = 4 * lx + (UNROLL_DEFAULT - 1 + 2 * lx + ly) + 1
+        if (2 * rows_io + 6 * lx) * LANES * 4 > _vmem_budget():
+            _warn_vmem_fallback(lx, ly)
+            from .sw_native import banded_sw_chained_batch_native
+            return np.asarray(
+                banded_sw_chained_batch_native(xs, ys, n_threads),
+                np.int32)
         out = np.empty(B, dtype=np.int32)
         results, spans = [], []
         start = 0
