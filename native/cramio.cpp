@@ -224,10 +224,317 @@ void rans_decode_4x8(const uint8_t* d, size_t len, uint8_t* out,
 }
 
 // ---------------------------------------------------------------------------
+// rANS Nx16 (CRAM 3.1 block method 5): 16-bit renorm, 4/32-way states,
+// PACK / RLE / STRIPE / CAT transforms. Mirrors io/cram.py's
+// implementation (the oracle + writer); round-trip tested against it.
+
+constexpr uint32_t RANS_NX16_LOW = 1u << 15;
+constexpr int NX16_ORDER1 = 0x01, NX16_X32 = 0x04, NX16_STRIPE = 0x08,
+              NX16_NOSZ = 0x10, NX16_CAT = 0x20, NX16_RLE = 0x40,
+              NX16_PACK = 0x80;
+
+uint32_t read_uint7(const uint8_t* d, size_t len, size_t& off) {
+  uint32_t v = 0;
+  while (true) {
+    if (off >= len) throw CramError("uint7 past end");
+    uint8_t c = d[off++];
+    v = (v << 7) | (c & 0x7F);
+    if (!(c & 0x80)) return v;
+  }
+}
+
+void read_alphabet_nx16(const uint8_t* d, size_t len, size_t& off,
+                        std::vector<int>& syms) {
+  if (off >= len) throw CramError("nx16 alphabet past end");
+  int sym = d[off++];
+  int last = sym;
+  int rle = 0;
+  while (true) {
+    syms.push_back(sym);
+    if (syms.size() > 256) throw CramError("nx16 alphabet > 256");
+    if (rle > 0) {
+      --rle;
+      ++sym;
+    } else {
+      if (off >= len) throw CramError("nx16 alphabet past end");
+      sym = d[off++];
+      if (sym == last + 1) {
+        if (off >= len) throw CramError("nx16 alphabet past end");
+        rle = d[off++];
+      }
+      if (sym == 0) break;
+    }
+    last = sym;
+  }
+}
+
+void norm_to_pow2(uint32_t* freqs, int bits) {
+  uint64_t tot = 0;
+  for (int i = 0; i < 256; ++i) tot += freqs[i];
+  uint32_t want = 1u << bits;
+  if (tot == want || tot == 0) return;
+  uint32_t scaled[256];
+  int imax = 0;
+  int64_t sum = 0;
+  for (int i = 0; i < 256; ++i) {
+    scaled[i] = freqs[i] ? (uint32_t)(((uint64_t)freqs[i] * want) / tot) : 0;
+    if (freqs[i] && scaled[i] == 0) scaled[i] = 1;
+    if (scaled[i] > scaled[imax]) imax = i;
+    sum += scaled[i];
+  }
+  int64_t diff = (int64_t)want - sum;
+  if ((int64_t)scaled[imax] + diff <= 0) throw CramError("nx16 renorm");
+  scaled[imax] = (uint32_t)((int64_t)scaled[imax] + diff);
+  memcpy(freqs, scaled, sizeof scaled);
+}
+
+void nx16_entropy0(const uint8_t* d, size_t len, size_t off, uint8_t* out,
+                   size_t n_out, int N) {
+  std::vector<int> syms;
+  read_alphabet_nx16(d, len, off, syms);
+  uint32_t freqs[256];
+  memset(freqs, 0, sizeof freqs);
+  for (int s : syms) freqs[s] = read_uint7(d, len, off);
+  norm_to_pow2(freqs, 12);
+  uint32_t cum[257];
+  cum_from_freqs(freqs, cum);
+  if (cum[256] > 4096) throw CramError("nx16 freq total > 4096");
+  std::vector<uint8_t> lookup(4096);
+  build_lookup(cum, lookup.data());
+  if (off + 4 * (size_t)N > len) throw CramError("nx16 states past end");
+  std::vector<uint32_t> states(N);
+  memcpy(states.data(), d + off, 4 * (size_t)N);
+  off += 4 * (size_t)N;
+  for (size_t i = 0; i < n_out; ++i) {
+    int j = (int)(i % N);
+    uint32_t x = states[j];
+    uint32_t slot = x & 0xFFF;
+    uint8_t s = lookup[slot];
+    out[i] = s;
+    x = freqs[s] * (x >> 12) + slot - cum[s];
+    while (x < RANS_NX16_LOW && off + 1 < len) {
+      x = (x << 16) | (uint32_t)(d[off] | (d[off + 1] << 8));
+      off += 2;
+    }
+    states[j] = x;
+  }
+}
+
+void nx16_read_o1_table(const uint8_t* d, size_t len, size_t& off,
+                        std::vector<int>& syms,
+                        std::vector<uint32_t>& freqs /*256*256*/) {
+  read_alphabet_nx16(d, len, off, syms);
+  for (int i : syms) {
+    int run = 0;
+    for (int j : syms) {
+      if (run > 0) {
+        --run;
+        continue;
+      }
+      uint32_t f = read_uint7(d, len, off);
+      freqs[(size_t)i * 256 + j] = f;
+      if (f == 0) {
+        if (off >= len) throw CramError("nx16 o1 run past end");
+        run = d[off++];
+      }
+    }
+  }
+}
+
+void nx16_decode(const uint8_t* d, size_t len, uint8_t* out, size_t n_out);
+
+void nx16_entropy1(const uint8_t* d, size_t len, size_t off, uint8_t* out,
+                   size_t n_out, int N) {
+  if (off >= len) throw CramError("nx16 o1 header past end");
+  uint8_t c = d[off++];
+  int shift = c >> 4;
+  if (shift < 1 || shift > 12) throw CramError("nx16 o1 shift out of range");
+  std::vector<int> syms;
+  std::vector<uint32_t> freqs((size_t)256 * 256, 0);
+  if (c & 1) {  // table itself Nx16-compressed
+    uint32_t ulen = read_uint7(d, len, off);
+    uint32_t clen = read_uint7(d, len, off);
+    if (off + clen > len) throw CramError("nx16 o1 table past end");
+    std::vector<uint8_t> tbl(ulen);
+    nx16_decode(d + off, clen, tbl.data(), ulen);
+    off += clen;
+    size_t toff = 0;
+    nx16_read_o1_table(tbl.data(), tbl.size(), toff, syms, freqs);
+  } else {
+    nx16_read_o1_table(d, len, off, syms, freqs);
+  }
+  std::vector<uint32_t> cums((size_t)256 * 257);
+  for (int i : syms) {
+    norm_to_pow2(&freqs[(size_t)i * 256], shift);
+    cum_from_freqs(&freqs[(size_t)i * 256], &cums[(size_t)i * 257]);
+    if (cums[(size_t)i * 257 + 256] > (1u << shift))
+      throw CramError("nx16 o1 freq total overflow");
+  }
+  uint32_t mask = (1u << shift) - 1;
+  size_t lk_size = (size_t)1 << shift;
+  std::vector<uint8_t> lookups;
+  std::vector<int32_t> lk_idx(256, -1);
+  if (off + 4 * (size_t)N > len) throw CramError("nx16 states past end");
+  std::vector<uint32_t> states(N);
+  memcpy(states.data(), d + off, 4 * (size_t)N);
+  off += 4 * (size_t)N;
+  size_t isz = n_out / N;
+  std::vector<int> last(N, 0);
+  auto decode_one = [&](int j, size_t pos) {
+    uint32_t x = states[j];
+    int ctx = last[j];
+    if (lk_idx[ctx] < 0) {
+      lk_idx[ctx] = (int32_t)(lookups.size() / lk_size);
+      lookups.resize(lookups.size() + lk_size);
+      uint8_t* lk = &lookups[(size_t)lk_idx[ctx] * lk_size];
+      const uint32_t* cum = &cums[(size_t)ctx * 257];
+      for (int s = 0; s < 256; ++s)
+        for (uint32_t t = cum[s]; t < cum[s + 1] && t < lk_size; ++t)
+          lk[t] = (uint8_t)s;
+    }
+    const uint8_t* lk = &lookups[(size_t)lk_idx[ctx] * lk_size];
+    uint32_t slot = x & mask;
+    uint8_t s = lk[slot];
+    out[pos] = s;
+    x = freqs[(size_t)ctx * 256 + s] * (x >> shift) + slot -
+        cums[(size_t)ctx * 257 + s];
+    while (x < RANS_NX16_LOW && off + 1 < len) {
+      x = (x << 16) | (uint32_t)(d[off] | (d[off + 1] << 8));
+      off += 2;
+    }
+    states[j] = x;
+    last[j] = s;
+  };
+  for (size_t i = 0; i < isz; ++i)
+    for (int j = 0; j < N; ++j) decode_one(j, j * isz + i);
+  for (size_t pos = (size_t)N * isz; pos < n_out; ++pos)
+    decode_one(N - 1, pos);
+}
+
+// Decode one complete Nx16 stream (flags byte first) into out[n_out].
+void nx16_decode(const uint8_t* d, size_t len, uint8_t* out, size_t n_out) {
+  if (len < 1) throw CramError("nx16 stream empty");
+  size_t off = 0;
+  int flags = d[off++];
+  if (!(flags & NX16_NOSZ)) {
+    uint32_t sz = read_uint7(d, len, off);
+    if (sz != n_out) throw CramError("nx16 size mismatch");
+  }
+  if (flags & NX16_STRIPE) {
+    if (off >= len) throw CramError("nx16 stripe past end");
+    int N = d[off++];
+    if (N <= 0) throw CramError("nx16 stripe N=0");
+    std::vector<uint32_t> clens(N);
+    for (int j = 0; j < N; ++j) clens[j] = read_uint7(d, len, off);
+    for (int j = 0; j < N; ++j) {
+      size_t ulen = n_out / N + ((n_out % N > (size_t)j) ? 1 : 0);
+      if (off + clens[j] > len) throw CramError("nx16 stripe past end");
+      std::vector<uint8_t> sub(ulen);
+      nx16_decode(d + off, clens[j], sub.data(), ulen);
+      off += clens[j];
+      for (size_t i = 0; i < ulen; ++i) out[i * N + j] = sub[i];
+    }
+    return;
+  }
+  int N = (flags & NX16_X32) ? 32 : 4;
+  // transform metadata (parse order mirrors the encode pipeline)
+  const uint8_t* pack_map = nullptr;
+  int n_pack_sym = 0;
+  size_t pack_len = 0;
+  if (flags & NX16_PACK) {
+    if (off >= len) throw CramError("nx16 pack past end");
+    n_pack_sym = d[off++];
+    if (n_pack_sym > 16) throw CramError("nx16 pack > 16 symbols");
+    if (off + (size_t)n_pack_sym > len) throw CramError("nx16 pack past end");
+    pack_map = d + off;
+    off += (size_t)n_pack_sym;
+    pack_len = read_uint7(d, len, off);
+  }
+  std::vector<uint8_t> rle_meta;
+  bool rle_sym[256] = {false};
+  size_t rle_moff = 0, rle_out_len = 0;
+  if (flags & NX16_RLE) {
+    uint32_t meta_len = read_uint7(d, len, off);
+    rle_out_len = read_uint7(d, len, off);
+    if (meta_len & 1) {
+      size_t mlen = meta_len >> 1;
+      if (off + mlen > len) throw CramError("nx16 rle meta past end");
+      rle_meta.assign(d + off, d + off + mlen);
+      off += mlen;
+    } else {
+      uint32_t comp_len = read_uint7(d, len, off);
+      if (off + comp_len > len) throw CramError("nx16 rle meta past end");
+      rle_meta.resize(meta_len >> 1);
+      nx16_decode(d + off, comp_len, rle_meta.data(), meta_len >> 1);
+      off += comp_len;
+    }
+    if (rle_meta.empty()) throw CramError("nx16 rle meta empty");
+    int n_sym = rle_meta[0];
+    if (n_sym == 0) n_sym = 256;
+    if (1 + (size_t)n_sym > rle_meta.size())
+      throw CramError("nx16 rle meta truncated");
+    for (int k = 0; k < n_sym; ++k) rle_sym[rle_meta[1 + k]] = true;
+    rle_moff = 1 + (size_t)n_sym;
+  }
+  size_t ent_len = (flags & NX16_RLE)    ? rle_out_len
+                   : (flags & NX16_PACK) ? pack_len
+                                         : n_out;
+  std::vector<uint8_t> buf(ent_len);
+  if (flags & NX16_CAT) {
+    if (off + ent_len > len) throw CramError("nx16 cat past end");
+    memcpy(buf.data(), d + off, ent_len);
+  } else if (ent_len == 0) {
+    // nothing to decode
+  } else if (flags & NX16_ORDER1) {
+    nx16_entropy1(d, len, off, buf.data(), ent_len, N);
+  } else {
+    nx16_entropy0(d, len, off, buf.data(), ent_len, N);
+  }
+  if (flags & NX16_RLE) {
+    std::vector<uint8_t> exp;
+    exp.reserve(n_out);
+    for (size_t i = 0; i < buf.size(); ++i) {
+      uint8_t b = buf[i];
+      exp.push_back(b);
+      if (rle_sym[b]) {
+        uint32_t run = read_uint7(rle_meta.data(), rle_meta.size(), rle_moff);
+        if (exp.size() + run > n_out + 16)
+          throw CramError("nx16 rle overrun");
+        exp.insert(exp.end(), run, b);
+      }
+    }
+    buf.swap(exp);
+  }
+  if (flags & NX16_PACK) {
+    std::vector<uint8_t> unp(n_out);
+    if (n_pack_sym <= 1) {
+      if (n_pack_sym < 1 && n_out > 0)
+        throw CramError("nx16 pack empty map");
+      for (size_t i = 0; i < n_out; ++i) unp[i] = pack_map[0];
+    } else {
+      int bpv = n_pack_sym <= 2 ? 1 : (n_pack_sym <= 4 ? 2 : 4);
+      int per = 8 / bpv;
+      uint8_t mask = (uint8_t)((1 << bpv) - 1);
+      for (size_t i = 0; i < n_out; ++i) {
+        size_t byte = i / per;
+        if (byte >= buf.size()) throw CramError("nx16 pack underrun");
+        int v = (buf[byte] >> (bpv * (int)(i % per))) & mask;
+        if (v >= n_pack_sym) throw CramError("nx16 pack bad index");
+        unp[i] = pack_map[v];
+      }
+    }
+    buf.swap(unp);
+  }
+  if (buf.size() != n_out) throw CramError("nx16 output size mismatch");
+  memcpy(out, buf.data(), n_out);
+}
+
+// ---------------------------------------------------------------------------
 // blocks
 
 enum { METHOD_RAW = 0, METHOD_GZIP = 1, METHOD_BZIP2 = 2, METHOD_LZMA = 3,
-       METHOD_RANS = 4 };
+       METHOD_RANS = 4, METHOD_RANSNX16 = 5, METHOD_ARITH = 6,
+       METHOD_FQZCOMP = 7, METHOD_TOK3 = 8 };
 enum { CT_FILE_HEADER = 0, CT_COMP_HEADER = 1, CT_SLICE_HEADER = 2,
        CT_EXTERNAL = 4, CT_CORE = 5 };
 
@@ -295,6 +602,18 @@ size_t read_block(const uint8_t* buf, size_t len, size_t off, CBlock& b) {
         throw CramError("lzma block decode failure");
       break;
     }
+    case METHOD_RANSNX16:
+      nx16_decode(payload, (size_t)csize, b.data.data(), (size_t)rsize);
+      break;
+    case METHOD_ARITH:
+      throw CramError("CRAM 3.1 codec adaptive arithmetic (method 6) is "
+                      "not supported; re-encode with standard codecs");
+    case METHOD_FQZCOMP:
+      throw CramError("CRAM 3.1 codec fqzcomp (method 7) is not "
+                      "supported; re-encode with standard codecs");
+    case METHOD_TOK3:
+      throw CramError("CRAM 3.1 codec name tokeniser (method 8) is not "
+                      "supported; re-encode with standard codecs");
     default:
       throw CramError("unsupported block compression method " +
                       std::to_string(b.method));
@@ -1223,7 +1542,16 @@ CramBam* cram_decode(const char* path, const char* fasta_path,
     fclose(f);
     if (raw.size() < 26 || memcmp(raw.data(), "CRAM", 4) != 0)
       throw CramError("not a CRAM file");
-    if (raw[4] != 3) throw CramError("unsupported CRAM major version");
+    if (!(raw[4] == 3 && (raw[5] == 0 || raw[5] == 1))) {
+      if (raw[4] == 2)
+        throw CramError(
+            "CRAM 2.x is a legacy format this reader does not support; "
+            "re-encode as CRAM 3.x or BAM (samtools view -C "
+            "--output-fmt-option version=3.0)");
+      throw CramError("unsupported CRAM version " +
+                      std::to_string((int)raw[4]) + "." +
+                      std::to_string((int)raw[5]) + " (3.0 and 3.1 are)");
+    }
     size_t off = 26;
     // file header container -> SAM text
     {

@@ -288,3 +288,73 @@ def test_exotic_int_codecs_roundtrip():
         br = BitReader(bw.getvalue())
         e = parse_enc(enc_golomb(0, m))
         assert [e.read_int(br, {}) for _ in small] == small
+
+
+def test_rans_nx16_roundtrip_all_flags():
+    """CRAM 3.1 rANS Nx16: every encoder flag combination (order 0/1,
+    4/32-way, PACK, RLE, STRIPE) must round-trip byte-exactly on
+    DNA-like, run-heavy, uniform, low-cardinality, tiny, constant and
+    empty inputs."""
+    import numpy as np
+
+    from vartrix_tpu.io.cram import rans_decode_nx16, rans_encode_nx16
+
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    cases = {
+        "dna": bytes(rng.choice(bases, 5000, p=[.4, .3, .2, .1])),
+        "runs": b"".join(bytes([b]) * int(r) for b, r in zip(
+            rng.integers(60, 70, 400), rng.integers(1, 30, 400))),
+        "uniform": bytes(rng.integers(0, 256, 3000).astype(np.uint8)),
+        "binary": bytes(rng.choice(np.frombuffer(b"01", np.uint8), 4000)),
+        "tiny": b"ACG",
+        "const": b"A" * 1000,
+        "empty": b"",
+    }
+    n_enc = 0
+    for raw in cases.values():
+        for order in (0, 1):
+            for x32 in (False, True):
+                for pack in (False, True):
+                    for rle in (False, True):
+                        for stripe in (False, True):
+                            enc = rans_encode_nx16(
+                                raw, order=order, x32=x32, pack=pack,
+                                rle=rle, stripe=stripe)
+                            if enc is None:
+                                continue
+                            n_enc += 1
+                            assert rans_decode_nx16(enc) == raw
+    assert n_enc > 100  # the matrix mostly encodes
+
+
+def test_cram31_codec_errors_and_version_gate(tmp_path):
+    """Unsupported 3.1 codecs raise NAMED errors; CRAM 2.x and 4.x are
+    rejected up front with actionable version messages (not a mid-decode
+    codec error) by BOTH decoders."""
+    import struct
+
+    import pytest
+
+    from vartrix_tpu.io.bam_native import cram_decode_native, get_cram_lib
+    from vartrix_tpu.io.cram import (Block, CramReader, CT_EXTERNAL,
+                                     read_block, write_itf8)
+    import zlib
+
+    # handcrafted block with method 7 (fqzcomp)
+    blk = bytes([7, CT_EXTERNAL]) + write_itf8(1) + write_itf8(4) \
+        + write_itf8(4) + b"ABCD"
+    blk += struct.pack("<I", zlib.crc32(blk))
+    with pytest.raises(NotImplementedError, match="fqzcomp"):
+        read_block(blk, 0)
+
+    for major, minor, frag in ((2, 1, "legacy"), (4, 0, "not")):
+        p = tmp_path / f"v{major}{minor}.cram"
+        p.write_bytes(b"CRAM" + bytes([major, minor]) + b"\x00" * 40)
+        with pytest.raises(NotImplementedError, match=frag):
+            CramReader(str(p))
+        if get_cram_lib() is not None:
+            with pytest.raises(RuntimeError,
+                               match="legacy|version" if major == 2
+                               else "version"):
+                cram_decode_native(str(p), None)

@@ -368,3 +368,42 @@ def test_native_cram_cli_golden_exotic(tmp_path):
     a = read_matrix_market(out).to_canonical()
     g = read_matrix_market(f"{T}/test_consensus.mtx").to_canonical()
     assert a == g
+
+
+@pytest.mark.parametrize("method", ["ransnx16", "ransnx16o1", "ransnx16mix"])
+def test_native_nx16_blocks(dataset, tmp_path, method):
+    """CRAM 3.1 rANS Nx16 blocks (order-0/order-1/rotating transform
+    mix): native decode == Python oracle == original BAM columns."""
+    b = BamReader(dataset["bam"])
+    cram = str(tmp_path / f"{method}.cram")
+    write_cram(cram, list(zip(b.ref_names, b.ref_lens)), b.records(),
+               fasta_path=dataset["fasta"], block_method=method)
+    raw = open(cram, "rb").read()
+    assert raw[4:6] == b"\x03\x01"  # version 3.1 on disk
+    from vartrix_tpu.io.cram import METHOD_RANSNX16
+    assert any(raw[i] == METHOD_RANSNX16 and raw[i + 1] == 4
+               for i in range(26, len(raw) - 1))
+    nat = _cram_native_vs_python(cram, dataset["fasta"], tmp_path, method)
+    _columns_equal(nat, ColumnarBam(dataset["bam"]))
+
+
+def test_native_cram31_cli_golden(tmp_path):
+    """Full pipeline over a CRAM 3.1 file (rotating Nx16 transform mix,
+    native decode) == BAM golden (VERDICT r4 #2)."""
+    from vartrix_tpu.driver import _main
+    from vartrix_tpu.io.cram import write_crai
+    from vartrix_tpu.io.matrix_market import read_matrix_market
+
+    T = "/root/reference/test"
+    b = BamReader(f"{T}/test.bam")
+    cram = str(tmp_path / "t31.cram")
+    write_cram(cram, list(zip(b.ref_names, b.ref_lens)), b.records(),
+               fasta_path=f"{T}/test.fa", block_method="ransnx16mix")
+    write_crai(cram, fasta_path=f"{T}/test.fa")
+    out = str(tmp_path / "out.mtx")
+    _main(["-v", f"{T}/test.vcf", "-b", cram, "-f", f"{T}/test.fa",
+           "-c", f"{T}/barcodes.tsv", "-o", out,
+           "--host", "native", "--backend", "cpu"])
+    a = read_matrix_market(out).to_canonical()
+    g = read_matrix_market(f"{T}/test_consensus.mtx").to_canonical()
+    assert a == g

@@ -69,7 +69,8 @@ def test_corrupted_cram_never_crashes(dataset, tmp_path):
         pytest.skip("libcramio unavailable")
     b = BamReader(dataset["bam"])
     rng = np.random.default_rng(13)
-    for prof, meth in (("external", "rans1"), ("exotic", "gzip")):
+    for prof, meth in (("external", "rans1"), ("exotic", "gzip"),
+                       ("external", "ransnx16mix")):
         cram = str(tmp_path / f"f_{prof}.cram")
         write_cram(cram, list(zip(b.ref_names, b.ref_lens)),
                    BamReader(dataset["bam"]).records(),

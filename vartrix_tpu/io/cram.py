@@ -424,9 +424,534 @@ def rans_encode_4x8(raw: bytes, order: int = 0) -> Optional[bytes]:
 
 
 # ---------------------------------------------------------------------------
+# rANS Nx16 (CRAM 3.1 block method 5, hts-specs CRAMcodecs "rANS Nx16"):
+# 16-bit renormalization, 4- or 32-way state interleave, and the bit-PACK
+# / RLE / STRIPE / CAT byte transforms composed around the entropy stage.
+# Encode pipeline: PACK -> RLE -> rANS; decode inverts. Sizes are uint7
+# varints (big-endian 7-bit groups, high bit = continuation).
+#
+# The writer and both decoders (this module + native/cramio.cpp) share
+# this implementation's conventions and are round-trip tested against
+# each other; bit-level parity with htslib's encoder output cannot be
+# verified in this environment (no htslib/egress) — see PARITY.md.
+# ---------------------------------------------------------------------------
+
+NX16_ORDER1 = 0x01
+NX16_X32 = 0x04
+NX16_STRIPE = 0x08
+NX16_NOSZ = 0x10
+NX16_CAT = 0x20
+NX16_RLE = 0x40
+NX16_PACK = 0x80
+RANS_NX16_LOW = 1 << 15
+
+
+def read_uint7(data: bytes, off: int) -> Tuple[int, int]:
+    v = 0
+    while True:
+        c = data[off]
+        off += 1
+        v = (v << 7) | (c & 0x7F)
+        if not c & 0x80:
+            return v, off
+
+
+def write_uint7(v: int) -> bytes:
+    out = bytearray([v & 0x7F])
+    v >>= 7
+    while v:
+        out.append(0x80 | (v & 0x7F))
+        v >>= 7
+    out.reverse()
+    return bytes(out)
+
+
+def _read_alphabet_nx16(data: bytes, off: int) -> Tuple[List[int], int]:
+    """Symbol list in the spec's RLE layout (same scheme as the 4x8
+    frequency table's symbol stream): ascending symbols, a byte equal to
+    prev+1 is followed by a run-extension count, terminated by 0."""
+    syms = []
+    sym = data[off]; off += 1
+    last = sym
+    rle = 0
+    while True:
+        syms.append(sym)
+        if rle > 0:
+            rle -= 1
+            sym += 1
+        else:
+            sym = data[off]; off += 1
+            if sym == last + 1:
+                rle = data[off]; off += 1
+            if sym == 0:
+                break
+        last = sym
+    return syms, off
+
+
+def _write_alphabet_nx16(syms: List[int]) -> bytes:
+    """Exact inverse of _read_alphabet_nx16 (syms ascending, non-empty)."""
+    runs = []
+    i = 0
+    while i < len(syms):
+        j = i
+        while j + 1 < len(syms) and syms[j + 1] == syms[j] + 1:
+            j += 1
+        runs.append((syms[i], j - i + 1))
+        i = j + 1
+    out = bytearray()
+    for gi, (start, length) in enumerate(runs):
+        out.append(start)
+        if length > 1:
+            out.append(start + 1)
+            out.append(length - 2)
+    out.append(0)
+    return bytes(out)
+
+
+def _norm_to_pow2(freqs: List[int], bits: int) -> List[int]:
+    """Decoder-side renormalization to sum 1<<bits (no-op when already
+    normalized, which is what our writer emits)."""
+    tot = sum(freqs)
+    want = 1 << bits
+    if tot == want or tot == 0:
+        return freqs
+    scaled = [(f * want) // tot if f else 0 for f in freqs]
+    for i in range(256):
+        if freqs[i] and scaled[i] == 0:
+            scaled[i] = 1
+    imax = max(range(256), key=lambda i: scaled[i])
+    scaled[imax] += want - sum(scaled)
+    return scaled
+
+
+def _nx16_decode_entropy0(data: bytes, off: int, n_out: int,
+                          N: int) -> Tuple[bytes, int]:
+    syms, off = _read_alphabet_nx16(data, off)
+    freqs = [0] * 256
+    for s in syms:
+        freqs[s], off = read_uint7(data, off)
+    freqs = _norm_to_pow2(freqs, 12)
+    cum = _cum_from_freqs(freqs)
+    lookup = bytearray(4096)
+    for s in range(256):
+        for slot in range(cum[s], cum[s + 1]):
+            lookup[slot] = s
+    states = list(struct.unpack_from(f"<{N}I", data, off))
+    off += 4 * N
+    out = bytearray(n_out)
+    for i in range(n_out):
+        j = i % N
+        x = states[j]
+        slot = x & 0xFFF
+        s = lookup[slot]
+        out[i] = s
+        x = freqs[s] * (x >> 12) + slot - cum[s]
+        while x < RANS_NX16_LOW and off + 1 < len(data):
+            x = (x << 16) | (data[off] | (data[off + 1] << 8))
+            off += 2
+        states[j] = x
+    return bytes(out), off
+
+
+def _read_o1_table_nx16(tbl: bytes):
+    """Order-1 frequency rows over a shared alphabet, zero-run encoded
+    within each row."""
+    syms, off = _read_alphabet_nx16(tbl, 0)
+    freqs = {i: [0] * 256 for i in syms}
+    for i in syms:
+        run = 0
+        for j in syms:
+            if run > 0:
+                run -= 1
+                continue
+            f, off = read_uint7(tbl, off)
+            freqs[i][j] = f
+            if f == 0:
+                run = tbl[off]; off += 1
+    return syms, freqs, off
+
+
+def _nx16_decode_entropy1(data: bytes, off: int, n_out: int,
+                          N: int) -> Tuple[bytes, int]:
+    c = data[off]; off += 1
+    shift = c >> 4
+    if c & 1:  # table itself rANS-Nx16 compressed
+        ulen, off = read_uint7(data, off)
+        clen, off = read_uint7(data, off)
+        tbl = rans_decode_nx16(data[off : off + clen], ulen)
+        off += clen
+        syms, freqs, _ = _read_o1_table_nx16(tbl)
+    else:
+        syms, freqs, tlen = _read_o1_table_nx16(data[off:])
+        off += tlen
+    cums = {}
+    lookups = {}
+    for i in syms:
+        freqs[i] = _norm_to_pow2(freqs[i], shift)
+        cums[i] = _cum_from_freqs(freqs[i])
+    mask = (1 << shift) - 1
+    states = list(struct.unpack_from(f"<{N}I", data, off))
+    off += 4 * N
+    out = bytearray(n_out)
+    isz = n_out // N
+    last = [0] * N
+
+    def decode_one(j, pos, off):
+        x = states[j]
+        ctx = last[j]
+        cum = cums.get(ctx)
+        if cum is None:  # context never seen by the encoder
+            raise ValueError("rANS Nx16 order-1: missing context table")
+        lk = lookups.get(ctx)
+        if lk is None:
+            lk = bytearray(1 << shift)
+            for s_ in syms:
+                for t in range(cum[s_], cum[s_ + 1]):
+                    lk[t] = s_
+            lookups[ctx] = lk
+        slot = x & mask
+        s = lk[slot]
+        out[pos] = s
+        x = freqs[ctx][s] * (x >> shift) + slot - cum[s]
+        while x < RANS_NX16_LOW and off + 1 < len(data):
+            x = (x << 16) | (data[off] | (data[off + 1] << 8))
+            off += 2
+        states[j] = x
+        last[j] = s
+        return off
+
+    for i in range(isz):
+        for j in range(N):
+            off = decode_one(j, j * isz + i, off)
+    for pos in range(N * isz, n_out):
+        off = decode_one(N - 1, pos, off)
+    return bytes(out), off
+
+
+def rans_decode_nx16(data: bytes, n_out: Optional[int] = None) -> bytes:
+    """Decode one complete rANS Nx16 stream (flags byte first). n_out is
+    required iff the stream carries the NOSZ flag."""
+    flags = data[0]
+    off = 1
+    if not flags & NX16_NOSZ:
+        n_out, off = read_uint7(data, off)
+    if n_out is None:
+        raise ValueError("rANS Nx16: NOSZ stream needs an explicit size")
+    if flags & NX16_STRIPE:
+        N = data[off]; off += 1
+        clens = []
+        for _ in range(N):
+            cl, off = read_uint7(data, off)
+            clens.append(cl)
+        out = bytearray(n_out)
+        for j in range(N):
+            ulen = n_out // N + (1 if n_out % N > j else 0)
+            sub = rans_decode_nx16(data[off : off + clens[j]], ulen)
+            off += clens[j]
+            out[j::N] = sub
+        return bytes(out)
+    N = 32 if flags & NX16_X32 else 4
+    # transform metadata, parse order mirrors the encode pipeline
+    pack_map = None
+    if flags & NX16_PACK:
+        n_pack_sym = data[off]; off += 1
+        pack_map = data[off : off + n_pack_sym]
+        off += n_pack_sym
+        pack_len, off = read_uint7(data, off)
+    rle_syms = rle_meta = None
+    if flags & NX16_RLE:
+        meta_len, off = read_uint7(data, off)
+        rle_out_len, off = read_uint7(data, off)
+        if meta_len & 1:
+            meta = data[off : off + (meta_len >> 1)]
+            off += meta_len >> 1
+        else:
+            comp_len, off = read_uint7(data, off)
+            meta = rans_decode_nx16(data[off : off + comp_len],
+                                    meta_len >> 1)
+            off += comp_len
+        n_sym = meta[0]
+        if n_sym == 0:
+            n_sym = 256
+        rle_syms = set(meta[1 : 1 + n_sym])
+        rle_meta = (meta, 1 + n_sym)
+    # entropy stage target length
+    if flags & NX16_RLE:
+        ent_len = rle_out_len
+    elif flags & NX16_PACK:
+        ent_len = pack_len
+    else:
+        ent_len = n_out
+    if flags & NX16_CAT:
+        buf = data[off : off + ent_len]
+    elif ent_len == 0:
+        buf = b""
+    elif flags & NX16_ORDER1:
+        buf, _ = _nx16_decode_entropy1(data, off, ent_len, N)
+    else:
+        buf, _ = _nx16_decode_entropy0(data, off, ent_len, N)
+    if flags & NX16_RLE:
+        meta, moff = rle_meta
+        out = bytearray()
+        for b in buf:
+            out.append(b)
+            if b in rle_syms:
+                run, moff = read_uint7(meta, moff)
+                out += bytes([b]) * run
+        buf = bytes(out)
+    if flags & NX16_PACK:
+        np_ = len(pack_map)
+        if np_ <= 1:
+            buf = bytes([pack_map[0]]) * n_out if n_out else b""
+        else:
+            bpv = 1 if np_ <= 2 else (2 if np_ <= 4 else 4)
+            per = 8 // bpv
+            mask = (1 << bpv) - 1
+            out = bytearray(n_out)
+            for i in range(n_out):
+                v = buf[i // per] >> (bpv * (i % per))
+                out[i] = pack_map[v & mask]
+            buf = bytes(out)
+    if len(buf) != n_out:
+        raise ValueError(f"rANS Nx16 size mismatch: {len(buf)} != {n_out}")
+    return buf
+
+
+def _nx16_renorm_encode(x: int, freq: int, shift: int, body: bytearray) -> int:
+    x_max = ((RANS_NX16_LOW >> shift) << 16) * freq
+    while x >= x_max:
+        body.append((x >> 8) & 0xFF)  # high byte first: the final
+        body.append(x & 0xFF)         # reversal restores LE u16 order
+        x >>= 16
+    return x
+
+
+def _nx16_encode_entropy0(raw: bytes, N: int) -> Optional[bytes]:
+    counts = [0] * 256
+    for b in raw:
+        counts[b] += 1
+    freqs = _norm_freqs_4096(counts)
+    if freqs is None:
+        return None
+    cum = _cum_from_freqs(freqs)
+    syms = [s for s in range(256) if freqs[s]]
+    table = bytearray(_write_alphabet_nx16(syms))
+    for s in syms:
+        table += write_uint7(freqs[s])
+    states = [RANS_NX16_LOW] * N
+    body = bytearray()
+    for i in range(len(raw) - 1, -1, -1):
+        j = i % N
+        s = raw[i]
+        x = _nx16_renorm_encode(states[j], freqs[s], 12, body)
+        states[j] = ((x // freqs[s]) << 12) + (x % freqs[s]) + cum[s]
+    body.reverse()
+    return bytes(table) + struct.pack(f"<{N}I", *states) + bytes(body)
+
+
+def _nx16_encode_entropy1(raw: bytes, N: int) -> Optional[bytes]:
+    n = len(raw)
+    if n < N:
+        return None
+    isz = n // N
+    counts = {}
+    seq_ctx = bytearray(n)
+    for j in range(N):
+        last = 0
+        lo = j * isz
+        hi = (j + 1) * isz if j < N - 1 else n
+        for p in range(lo, hi):
+            seq_ctx[p] = last
+            row = counts.setdefault(last, [0] * 256)
+            row[raw[p]] += 1
+            last = raw[p]
+    present = set(counts.keys())
+    for row in counts.values():
+        present.update(s for s in range(256) if row[s])
+    syms = sorted(present)
+    freqs = {}
+    cums = {}
+    for i in syms:
+        row = counts.get(i)
+        if row is None or sum(row) == 0:
+            # context appears as a symbol but never precedes anything;
+            # emit an all-zero row (nothing is ever decoded from it)
+            freqs[i] = [0] * 256
+            continue
+        f = _norm_freqs_4096(row)
+        if f is None:
+            return None
+        freqs[i] = f
+        cums[i] = _cum_from_freqs(f)
+    table = bytearray(_write_alphabet_nx16(syms))
+    for i in syms:
+        row = freqs[i]
+        j_idx = 0
+        while j_idx < len(syms):
+            f = row[syms[j_idx]]
+            table += write_uint7(f)
+            if f == 0:
+                # count following zero freqs in this row
+                run = 0
+                while (j_idx + 1 + run < len(syms)
+                       and run < 255
+                       and row[syms[j_idx + 1 + run]] == 0):
+                    run += 1
+                table.append(run)
+                j_idx += run
+            j_idx += 1
+    order_seq = []
+    for i in range(isz):
+        for j in range(N):
+            order_seq.append((j, j * isz + i))
+    for pos in range(N * isz, n):
+        order_seq.append((N - 1, pos))
+    states = [RANS_NX16_LOW] * N
+    body = bytearray()
+    for j, pos in reversed(order_seq):
+        s = raw[pos]
+        c = seq_ctx[pos]
+        f = freqs[c][s]
+        x = _nx16_renorm_encode(states[j], f, 12, body)
+        states[j] = ((x // f) << 12) + (x % f) + cums[c][s]
+    body.reverse()
+    head = bytes([12 << 4])  # shift 12, uncompressed table
+    return head + bytes(table) + struct.pack(f"<{N}I", *states) + bytes(body)
+
+
+def _nx16_pack(raw: bytes):
+    """(pack_map, packed) when <=16 distinct symbols, else None."""
+    syms = sorted(set(raw))
+    if len(syms) > 16 or not raw:
+        return None
+    idx = {s: k for k, s in enumerate(syms)}
+    np_ = len(syms)
+    if np_ <= 1:
+        return bytes(syms), b""
+    bpv = 1 if np_ <= 2 else (2 if np_ <= 4 else 4)
+    per = 8 // bpv
+    out = bytearray((len(raw) + per - 1) // per)
+    for i, b in enumerate(raw):
+        out[i // per] |= idx[b] << (bpv * (i % per))
+    return bytes(syms), bytes(out)
+
+
+def _nx16_rle(raw: bytes):
+    """(rle_syms, literals, run_meta) — symbols whose every occurrence
+    is followed by a uint7 run count in the meta stream."""
+    if not raw:
+        return None
+    run_gain = [0] * 256
+    i = 0
+    while i < len(raw):
+        j = i
+        while j + 1 < len(raw) and raw[j + 1] == raw[i]:
+            j += 1
+        run_gain[raw[i]] += (j - i) - 1  # saved bytes minus varint cost
+        i = j + 1
+    syms = {s for s in range(256) if run_gain[s] > 0}
+    if not syms:
+        return None
+    lits = bytearray()
+    meta = bytearray()
+    i = 0
+    while i < len(raw):
+        b = raw[i]
+        lits.append(b)
+        if b in syms:
+            j = i
+            while j + 1 < len(raw) and raw[j + 1] == b:
+                j += 1
+            meta += write_uint7(j - i)
+            i = j + 1
+        else:
+            i += 1
+    return syms, bytes(lits), bytes(meta)
+
+
+def rans_encode_nx16(raw: bytes, order: int = 0, x32: bool = False,
+                     pack: bool = False, rle: bool = False,
+                     stripe: bool = False,
+                     cat: bool = False) -> Optional[bytes]:
+    """Encode one rANS Nx16 stream (flags byte + uint7 size + payload).
+    Returns None when the requested combination cannot represent the
+    input (caller falls back to another method)."""
+    n = len(raw)
+    flags = 0
+    out = bytearray()
+    if stripe:
+        N = 4
+        flags |= NX16_STRIPE
+        out.append(flags)
+        out += write_uint7(n)
+        subs = []
+        for j in range(N):
+            enc = rans_encode_nx16(raw[j::N], order=order, x32=x32)
+            if enc is None:
+                return None
+            # substreams carry NOSZ (length is derivable)
+            enc = bytes([enc[0] | NX16_NOSZ]) + enc[1 + len(
+                write_uint7(len(raw[j::N]))):]
+            subs.append(enc)
+        out.append(N)
+        for s in subs:
+            out += write_uint7(len(s))
+        for s in subs:
+            out += s
+        return bytes(out)
+    N = 32 if x32 else 4
+    if x32:
+        flags |= NX16_X32
+    pack_blob = b""
+    data = raw
+    if pack:
+        p = _nx16_pack(data)
+        if p is None:
+            return None
+        pmap, data = p
+        flags |= NX16_PACK
+        pack_blob = bytes([len(pmap)]) + pmap + write_uint7(len(data))
+    rle_blob = b""
+    if rle and data:
+        r = _nx16_rle(data)
+        if r is None:
+            return None
+        syms, data, run_meta = r
+        flags |= NX16_RLE
+        n_sym = len(syms)
+        meta = bytes([0 if n_sym == 256 else n_sym]) + bytes(sorted(syms)) \
+            + run_meta
+        rle_blob = (write_uint7((len(meta) << 1) | 1)
+                    + write_uint7(len(data)) + meta)
+    if cat or len(data) < 4 * N or len(set(data)) <= 1:
+        flags |= NX16_CAT
+        body = bytes(data)
+    elif order == 1:
+        body = _nx16_encode_entropy1(data, N)
+        if body is None:
+            return None
+        flags |= NX16_ORDER1
+    else:
+        body = _nx16_encode_entropy0(data, N)
+        if body is None:
+            return None
+    out.append(flags)
+    out += write_uint7(n)
+    out += pack_blob
+    out += rle_blob
+    out += body
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # blocks
 
 METHOD_RAW, METHOD_GZIP, METHOD_BZIP2, METHOD_LZMA, METHOD_RANS = 0, 1, 2, 3, 4
+# CRAM 3.1 additions: rANS Nx16 is implemented; the remaining 3.1 codecs
+# raise a named, actionable error instead of a generic method number
+METHOD_RANSNX16, METHOD_ARITH, METHOD_FQZCOMP, METHOD_TOK3 = 5, 6, 7, 8
+CRAM31_CODEC_NAMES = {6: "adaptive arithmetic", 7: "fqzcomp", 8: "name tokeniser"}
 CT_FILE_HEADER, CT_COMP_HEADER, CT_SLICE_HEADER, CT_EXTERNAL, CT_CORE = 0, 1, 2, 4, 5
 
 
@@ -462,6 +987,14 @@ def read_block(buf: bytes, off: int) -> Tuple[Block, int]:
         data = lzma.decompress(payload)
     elif method == METHOD_RANS:
         data = rans_decode_4x8(payload, rsize)
+    elif method == METHOD_RANSNX16:
+        data = rans_decode_nx16(payload, rsize)
+    elif method in CRAM31_CODEC_NAMES:
+        raise NotImplementedError(
+            f"CRAM 3.1 codec {CRAM31_CODEC_NAMES[method]} (block method "
+            f"{method}) is not supported; re-encode the file with "
+            "standard codecs (e.g. samtools view --output-fmt-option "
+            "version=3.0)")
     else:
         raise NotImplementedError(f"CRAM block compression method {method}")
     if len(data) != rsize:
@@ -487,6 +1020,26 @@ def write_block(b: Block, compress: bool = True,
             r = rans_encode_4x8(raw, 0 if method_hint == "rans0" else 1)
             if r is not None and len(r) < len(raw):
                 comp, method = r, METHOD_RANS
+        elif method_hint.startswith("ransnx16"):
+            # CRAM 3.1 rANS Nx16 block. "ransnx16" = order-0;
+            # "ransnx16o1" = order-1; "ransnx16mix" rotates through the
+            # transform combinations deterministically per block so one
+            # written file exercises every decoder path (the 3.1
+            # decoder-hardening profile, like codec_profile="exotic"
+            # does for the 3.0 record codecs).
+            if method_hint == "ransnx16mix":
+                opts = [dict(order=0), dict(order=1),
+                        dict(order=0, pack=True), dict(order=0, rle=True),
+                        dict(order=1, x32=True), dict(order=0, stripe=True),
+                        dict(order=0, pack=True, rle=True)][
+                    (b.content_id + len(raw)) % 7]
+            else:
+                opts = dict(order=1 if method_hint.endswith("o1") else 0)
+            r = rans_encode_nx16(raw, **opts)
+            if r is None:
+                r = rans_encode_nx16(raw, order=0)
+            if r is not None and len(r) < len(raw):
+                comp, method = r, METHOD_RANSNX16
         elif method_hint == "bzip2":
             import bz2
             bzd = bz2.compress(raw)
@@ -1263,8 +1816,16 @@ class CramReader:
         if raw[:4] != b"CRAM":
             raise ValueError(f"{path}: not a CRAM file")
         self.major, self.minor = raw[4], raw[5]
-        if self.major != 3:
-            raise NotImplementedError(f"CRAM version {self.major}.{self.minor}")
+        if (self.major, self.minor) not in ((3, 0), (3, 1)):
+            if self.major == 2:
+                raise NotImplementedError(
+                    f"{path}: CRAM {self.major}.{self.minor} is a legacy "
+                    "format this reader does not support; re-encode it as "
+                    "CRAM 3.x or BAM (e.g. samtools view -C "
+                    "--output-fmt-option version=3.0)")
+            raise NotImplementedError(
+                f"{path}: CRAM version {self.major}.{self.minor} is not "
+                "supported (3.0 and 3.1 are)")
         off = 26  # magic + version + 20-byte file id
         # first container: file header (SAM header text)
         hdr_blocks, off = self._read_container(raw, off)
@@ -1541,8 +2102,9 @@ def write_cram(path: str, refs: List[Tuple[str, int]], records,
                block_method: str = "gzip",
                embed_ref: bool = False,
                codec_profile: str = "external",
-               slices_per_container: int = 1) -> None:
-    """Write a CRAM 3.0 file from BamRecord-like objects (io/bam.py).
+               slices_per_container: int = 1,
+               version: Optional[Tuple[int, int]] = None) -> None:
+    """Write a CRAM 3.0/3.1 file from BamRecord-like objects (io/bam.py).
 
     Profile: multi-ref slices, absolute positions, read names preserved,
     every data series EXTERNAL, Z tags only. Without a reference,
@@ -1553,7 +2115,14 @@ def write_cram(path: str, refs: List[Tuple[str, int]], records,
 
     block_method selects the data-block compressor: "gzip" (default),
     "rans0" or "rans1" (rANS 4x8 — htslib's default for short-read
-    data; falls back per block when rANS doesn't shrink it).
+    data; falls back per block when rANS doesn't shrink it), or the
+    CRAM 3.1 rANS Nx16 family: "ransnx16" (order-0), "ransnx16o1",
+    "ransnx16mix" (rotates order/PACK/RLE/X32/STRIPE per block — the
+    decoder-hardening profile).
+
+    version defaults to (3, 0), or (3, 1) automatically when an Nx16
+    block_method is requested; passing (3, 0) with an Nx16 method is an
+    error (method 5 only exists in 3.1).
 
     embed_ref=True (requires fasta_path) writes SINGLE-REF slices that
     carry their reference segment as an embedded block — the htslib
@@ -1573,8 +2142,12 @@ def write_cram(path: str, refs: List[Tuple[str, int]], records,
         fa = IndexedFasta(fasta_path)
         names = [n for n, _ in refs]
         ref_fetch = lambda ri, s, e: fa.fetch(names[ri], s, e).upper()
+    if version is None:
+        version = (3, 1) if block_method.startswith("ransnx16") else (3, 0)
+    elif block_method.startswith("ransnx16") and tuple(version) < (3, 1):
+        raise ValueError("rANS Nx16 blocks require CRAM version (3, 1)")
     out = bytearray()
-    out += b"CRAM\x03\x00" + path.encode()[:20].ljust(20, b"\x00")
+    out += b"CRAM" + bytes(version) + path.encode()[:20].ljust(20, b"\x00")
 
     sam = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
         f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in refs)
