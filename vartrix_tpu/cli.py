@@ -96,6 +96,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "whole-genome BAMs with sparse VCFs). 'auto' picks "
                         "by the fraction of the file the variant windows "
                         "cover")
+    p.add_argument("--stream", metavar="N_VARIANTS", type=int, default=0,
+                   help="window the decode->collect->score pipeline over "
+                        "contiguous groups of N variants via the BAI region "
+                        "plan: peak memory is bounded to one window and the "
+                        "next window's decode overlaps the current window's "
+                        "scoring. Outputs are identical to the monolithic "
+                        "path. 0 (default) = off; requires an index and a "
+                        "BAM input, otherwise falls back with a note")
     p.add_argument("--profile-dir", dest="profile_dir", metavar="DIR", default=None,
                    help="Write a jax.profiler trace of the scoring phase to "
                         "this directory (view with TensorBoard/Perfetto)")

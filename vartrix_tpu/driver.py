@@ -221,6 +221,83 @@ def _select_backend(name: str, n_threads: int = 1, sw_mode: str = "full"):
     return sw_scores_batch
 
 
+def _stream_score(args, pargs, works, cell_barcodes, score_fn, tid_by_name):
+    """Windowed decode->collect->score (--stream N): partitions live
+    variants into contiguous N-variant windows, region-decodes each
+    window's reads via its own BAI plan, collects+scores, and frees the
+    window — peak RSS is bounded to one window, and window k+1's native
+    decode runs on a producer thread while window k scores on device.
+
+    Outputs are identical to the monolithic path: a variant lives in
+    exactly one window, its window's region plan covers every read
+    overlapping its locus (same plan construction as --fetch regions,
+    whose whole-vs-regions equality is pinned by tests), and collect
+    selects candidates per variant by (tid, pos) range, so extra reads a
+    window's chunks happen to include never leak into other variants.
+    Per-file UMI ids stay consistent within each variant because all of
+    a variant's reads decode in its own window.
+
+    Returns (read_idx, cells_l, umis_l, per_variant_scores) aligned to
+    `works`, or None when no usable index exists (caller falls back)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .core.fast_pipeline import collect_reads_fast, score_all_fast
+    from .io.bai import plan_region_fetch
+    from .io.bam_native import ColumnarBam
+
+    V = len(works)
+    live = [i for i, w in enumerate(works) if not w.skipped]
+    windows = [live[k : k + args.stream]
+               for k in range(0, len(live), args.stream)]
+    read_idx = [np.zeros(0, np.int64)] * V
+    cells_l = [np.zeros(0, np.int32)] * V
+    umis_l = [np.zeros(0, np.int64)] * V
+    scores: List[Optional[np.ndarray]] = [None] * V
+
+    def plan_of(win):
+        loci = [(works[i].locus.chrom, works[i].locus.start,
+                 works[i].locus.end) for i in win]
+        plan, _frac = plan_region_fetch(args.bam, loci, tid_by_name)
+        return plan
+
+    def decode(win):
+        plan = plan_of(win)
+        if plan is None:
+            raise RuntimeError("BAM index became unusable mid-stream")
+        return ColumnarBam(args.bam, pargs.bam_tag.encode(),
+                           n_threads=max(args.threads, 1), chunks=plan)
+
+    if not windows:
+        for i in range(V):
+            scores[i] = np.zeros(0, np.int8)
+        return read_idx, cells_l, umis_l, scores
+    if plan_of(windows[0]) is None:
+        return None  # no usable index: monolithic fallback
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(decode, windows[0])
+        for t, win in enumerate(windows):
+            cbam = fut.result()
+            if t + 1 < len(windows):
+                fut = ex.submit(decode, windows[t + 1])
+            sub_works = [works[i] for i in win]
+            ri, cl, ul = collect_reads_fast(cbam, sub_works, cell_barcodes,
+                                            pargs)
+            sc = score_all_fast(cbam, sub_works, ri, score_fn)
+            for k, i in enumerate(win):
+                read_idx[i] = ri[k]
+                cells_l[i] = cl[k]
+                umis_l[i] = ul[k]
+                scores[i] = sc[k]
+            del cbam
+    for i in range(V):
+        if scores[i] is None:
+            scores[i] = np.zeros(0, np.int8)
+    log.info("Streamed %d variants over %d windows of <=%d",
+             len(live), len(windows), args.stream)
+    return read_idx, cells_l, umis_l, scores
+
+
 def _main(argv: List[str]) -> None:
     """Full run. argv excludes the program name (pass sys.argv[1:])."""
     plat = os.environ.get("VARTRIX_JAX_PLATFORMS")
@@ -373,94 +450,118 @@ def _main(argv: List[str]) -> None:
         from .core.fast_pipeline import collect_reads_fast, score_all_fast
         from .io.bam_native import ColumnarBam
 
+        streamed = None
+        if args.stream > 0:
+            if _is_cram(args.bam):
+                log.info("--stream: CRAM input uses the container-level "
+                         "region decode instead; running monolithic")
+            elif args.checkpoint_dir:
+                log.info("--stream is incompatible with --checkpoint-dir; "
+                         "running monolithic")
+            else:
+                # one phase spans windowed decode+collect+score (they
+                # overlap by design, so separate timers would double-count)
+                with _phase("stream"), _maybe_profile(args.profile_dir):
+                    streamed = _stream_score(args, pargs, works,
+                                             cell_barcodes, score_fn,
+                                             bam.tid_by_name)
+                if streamed is None:
+                    log.info("--stream requested but no usable BAM index; "
+                             "running monolithic")
+        if streamed is not None:
+            read_idx, cells_l, umis_l, per_variant_scores = streamed
+        else:
+            per_variant_scores = None
+
         bam_path = args.bam
         cram_bytes = None
-        if _is_cram(args.bam):
-            # the columnar native decoder consumes BAM byte streams. The
-            # C++ CRAM decoder (libcramio) produces one in memory; with
-            # --fetch auto/regions and a valid .crai only containers
-            # overlapping variant windows decode (the CRAM analog of the
-            # BAI region plan). Python transcode remains the fallback
-            # for features libcramio doesn't support (exotic codecs;
-            # bzip2/lzma blocks decode natively since round 4).
-            offs = None
-            if args.fetch != "whole":
+        if per_variant_scores is None:
+            if _is_cram(args.bam):
+                # the columnar native decoder consumes BAM byte streams. The
+                # C++ CRAM decoder (libcramio) produces one in memory; with
+                # --fetch auto/regions and a valid .crai only containers
+                # overlapping variant windows decode (the CRAM analog of the
+                # BAI region plan). Python transcode remains the fallback
+                # for features libcramio doesn't support (exotic codecs;
+                # bzip2/lzma blocks decode natively since round 4).
+                offs = None
+                if args.fetch != "whole":
+                    try:
+                        from .io.cram import CramReader
+                        offs = CramReader(args.bam).containers_for_loci(
+                            fetch_loci)
+                    except Exception:
+                        offs = None
                 try:
-                    from .io.cram import CramReader
-                    offs = CramReader(args.bam).containers_for_loci(
-                        fetch_loci)
-                except Exception:
-                    offs = None
-            try:
-                from .io.bam_native import cram_decode_native
-                with _phase("cram-decode"):
-                    cram_bytes = cram_decode_native(
-                        args.bam, args.fasta, offs, max(args.threads, 1))
-                if offs is not None:
-                    log.info("CRAM native region decode: %d of the file's "
-                             "containers", len(offs))
-            except Exception as exc:
-                log.info("native CRAM decode unavailable (%s); using the "
-                         "Python transcoder", exc)
-                import tempfile
-                from .io.cram import transcode_to_bam
-                tmp = tempfile.NamedTemporaryFile(suffix=".bam", delete=False)
-                tmp.close()
-                loci = fetch_loci if args.fetch != "whole" else None
-                n_rec = transcode_to_bam(args.bam, tmp.name, args.fasta,
-                                         loci=loci)
-                if loci is not None:
-                    log.info("CRAM region transcode: %d records from "
-                             "index-selected containers", n_rec)
-                bam_path = tmp.name
-        with _phase("decode"):
-            cbam = ColumnarBam(bam_path, pargs.bam_tag.encode(),
-                               n_threads=max(args.threads, 1),
-                               chunks=fetch_chunks,
-                               bam_bytes=cram_bytes)
-        with _phase("collect"):
-            read_idx, cells_l, umis_l = collect_reads_fast(
-                cbam, works, cell_barcodes, pargs)
+                    from .io.bam_native import cram_decode_native
+                    with _phase("cram-decode"):
+                        cram_bytes = cram_decode_native(
+                            args.bam, args.fasta, offs, max(args.threads, 1))
+                    if offs is not None:
+                        log.info("CRAM native region decode: %d of the file's "
+                                 "containers", len(offs))
+                except Exception as exc:
+                    log.info("native CRAM decode unavailable (%s); using the "
+                             "Python transcoder", exc)
+                    import tempfile
+                    from .io.cram import transcode_to_bam
+                    tmp = tempfile.NamedTemporaryFile(suffix=".bam", delete=False)
+                    tmp.close()
+                    loci = fetch_loci if args.fetch != "whole" else None
+                    n_rec = transcode_to_bam(args.bam, tmp.name, args.fasta,
+                                             loci=loci)
+                    if loci is not None:
+                        log.info("CRAM region transcode: %d records from "
+                                 "index-selected containers", n_rec)
+                    bam_path = tmp.name
+            with _phase("decode"):
+                cbam = ColumnarBam(bam_path, pargs.bam_tag.encode(),
+                                   n_threads=max(args.threads, 1),
+                                   chunks=fetch_chunks,
+                                   bam_bytes=cram_bytes)
+            with _phase("collect"):
+                read_idx, cells_l, umis_l = collect_reads_fast(
+                    cbam, works, cell_barcodes, pargs)
 
-        ckpt = None
-        if args.checkpoint_dir:
-            from .core.checkpoint import ScoreCheckpoint, manifest_key
-            key = manifest_key(
-                [args.vcf, args.bam, args.fasta, args.cell_barcodes],
-                {"padding": args.padding, "mapq": args.mapq,
-                 "primary": args.primary_alignments,
-                 "duplicates": args.no_duplicates, "umi": args.umi,
-                 "bam_tag": args.bam_tag, "valid_chars": args.valid_chars})
-            ckpt = ScoreCheckpoint(args.checkpoint_dir, key)
+            ckpt = None
+            if args.checkpoint_dir:
+                from .core.checkpoint import ScoreCheckpoint, manifest_key
+                key = manifest_key(
+                    [args.vcf, args.bam, args.fasta, args.cell_barcodes],
+                    {"padding": args.padding, "mapq": args.mapq,
+                     "primary": args.primary_alignments,
+                     "duplicates": args.no_duplicates, "umi": args.umi,
+                     "bam_tag": args.bam_tag, "valid_chars": args.valid_chars})
+                ckpt = ScoreCheckpoint(args.checkpoint_dir, key)
 
-        with _phase("score"), _maybe_profile(args.profile_dir):
-            if ckpt is not None:
-                cached = {}
-                todo = []
-                for wi, w in enumerate(works):
-                    arr = ckpt.load(w.row)
-                    want = len(read_idx[wi])
-                    # (n, 2) int32 scores or (n,) int8 fused call codes
-                    if arr is not None and arr.shape in ((want, 2), (want,)):
-                        cached[wi] = (arr if arr.ndim == 1
-                                      else arr.astype(np.int32))
-                    else:
-                        todo.append(wi)
-                sub = score_all_fast(cbam, [works[i] for i in todo],
-                                     [read_idx[i] for i in todo], score_fn)
-                todo_pos = {wi: k for k, wi in enumerate(todo)}
-                per_variant_scores = []
-                for wi, w in enumerate(works):
-                    if wi in cached:
-                        per_variant_scores.append(cached[wi])
-                    else:
-                        arr = sub[todo_pos[wi]]
-                        ckpt.save(w.row, arr)
-                        per_variant_scores.append(arr)
-                log.info("Checkpoint: %d variants loaded, %d scored",
-                         len(cached), len(todo))
-            else:
-                per_variant_scores = score_all_fast(cbam, works, read_idx, score_fn)
+            with _phase("score"), _maybe_profile(args.profile_dir):
+                if ckpt is not None:
+                    cached = {}
+                    todo = []
+                    for wi, w in enumerate(works):
+                        arr = ckpt.load(w.row)
+                        want = len(read_idx[wi])
+                        # (n, 2) int32 scores or (n,) int8 fused call codes
+                        if arr is not None and arr.shape in ((want, 2), (want,)):
+                            cached[wi] = (arr if arr.ndim == 1
+                                          else arr.astype(np.int32))
+                        else:
+                            todo.append(wi)
+                    sub = score_all_fast(cbam, [works[i] for i in todo],
+                                         [read_idx[i] for i in todo], score_fn)
+                    todo_pos = {wi: k for k, wi in enumerate(todo)}
+                    per_variant_scores = []
+                    for wi, w in enumerate(works):
+                        if wi in cached:
+                            per_variant_scores.append(cached[wi])
+                        else:
+                            arr = sub[todo_pos[wi]]
+                            ckpt.save(w.row, arr)
+                            per_variant_scores.append(arr)
+                    log.info("Checkpoint: %d variants loaded, %d scored",
+                             len(cached), len(todo))
+                else:
+                    per_variant_scores = score_all_fast(cbam, works, read_idx, score_fn)
         log.debug("Finished aligning reads for all variants")
 
         metrics = Metrics()
