@@ -1033,6 +1033,19 @@ def _pack4_enabled(x, packed_entry) -> bool:
             and os.environ.get("VARTRIX_PACK4", "1") != "0")
 
 
+@functools.partial(jax.jit, static_argnames=("lx", "pad"))
+def _unpack4_jit(xp: jax.Array, xlen: jax.Array, lx: int,
+                 pad: int = 0) -> jax.Array:
+    """Standalone jitted _unpack4: unpack a 4-bit matrix ON DEVICE once
+    and keep the dense result device-resident across chunk dispatches.
+    At cohort scale the unique-hap matrix is ~200k rows; unpacking it
+    inside every chunk entry (the packed2 path) redoes ~45MB of device
+    work per chunk — this pays the transfer once (packed) and the unpack
+    once (VARTRIX_HAP_UNPACK_ONCE=0 restores the per-chunk packed2
+    behavior)."""
+    return _unpack4(xp, xlen, lx, pad)
+
+
 def _prefetch_depth() -> int:
     """Chunks gathered/packed ahead of the device (VARTRIX_PREFETCH,
     default 2; 0 = the pre-round-5 serial loop)."""
@@ -1091,9 +1104,15 @@ def _chunked_pair_dispatch(x, hap_mat, idx_ref, idx_alt, entry, unroll,
             return dense_dev
 
     hp_dev = None
-    if (packed_ok and ph is not None and packed2_entry is not None
-            and ly % 2 == 0):
-        hp_dev = (jnp.asarray(ph.packed), jnp.asarray(ph.lens))
+    if packed_ok and ph is not None and ly % 2 == 0:
+        if (os.environ.get("VARTRIX_HAP_UNPACK_ONCE", "1") != "0"
+                and packed_entry is not None):
+            # packed transfer, ONE device-side unpack, dense matrix stays
+            # device-resident for every chunk (see _unpack4_jit)
+            dense_dev = _unpack4_jit(jnp.asarray(ph.packed),
+                                     jnp.asarray(ph.lens), lx=ly, pad=1)
+        elif packed2_entry is not None:
+            hp_dev = (jnp.asarray(ph.packed), jnp.asarray(ph.lens))
 
     half = _chunk() // 2
     spans = []
