@@ -376,6 +376,25 @@ def _main(argv: List[str]) -> None:
         log.info("Shard %d/%d computes variant rows [%d, %d)",
                  args.shard_index, args.num_shards, *row_range)
 
+    # overlap the whole-file native decode with haplotype construction:
+    # they consume disjoint inputs (BAM vs FASTA+VCF), and at cohort
+    # scale each costs ~0.6-0.9s. Only started when the fetch decision
+    # is already determined to be whole-file — region planning needs the
+    # variant windows that prepare_variants produces.
+    early_decode = None
+    if (use_native and args.stream == 0 and not _is_cram(args.bam)
+            and (args.fetch == "whole"
+                 or (args.fetch == "auto"
+                     and os.path.getsize(args.bam) < 64 * 1024 * 1024))):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .io.bam_native import ColumnarBam as _EarlyCB
+        _dec_ex = ThreadPoolExecutor(max_workers=1)
+        early_decode = _dec_ex.submit(_EarlyCB, args.bam,
+                                      pargs.bam_tag.encode(),
+                                      max(args.threads, 1))
+        _dec_ex.shutdown(wait=False)
+
     with _phase("haplotypes"):
         works = prepare_variants(records, fasta, pargs, row_range=row_range)
 
@@ -515,10 +534,16 @@ def _main(argv: List[str]) -> None:
                                  "index-selected containers", n_rec)
                     bam_path = tmp.name
             with _phase("decode"):
-                cbam = ColumnarBam(bam_path, pargs.bam_tag.encode(),
-                                   n_threads=max(args.threads, 1),
-                                   chunks=fetch_chunks,
-                                   bam_bytes=cram_bytes)
+                if (early_decode is not None and fetch_chunks is None
+                        and cram_bytes is None):
+                    # started before the haplotypes phase; the timer here
+                    # measures only the remaining wait
+                    cbam = early_decode.result()
+                else:
+                    cbam = ColumnarBam(bam_path, pargs.bam_tag.encode(),
+                                       n_threads=max(args.threads, 1),
+                                       chunks=fetch_chunks,
+                                       bam_bytes=cram_bytes)
             with _phase("collect"):
                 read_idx, cells_l, umis_l = collect_reads_fast(
                     cbam, works, cell_barcodes, pargs)
