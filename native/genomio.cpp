@@ -1015,6 +1015,51 @@ int32_t gio_gather_padded_packed(const uint8_t* pool, const int64_t* seq_off,
   return bad.load() ? -1 : 0;
 }
 
+// 2-bit packed padded gather: A/C/G/T only (four bases per byte, low
+// bits first) — the dominant short-read case, quartering the read
+// transfer. Any other byte (N, '=', lowercase, IUPAC) declines with -1
+// and the caller falls back to the 4-bit protocol for that chunk, so
+// exactness never depends on the alphabet assumption.
+int32_t gio_gather_padded_packed2(const uint8_t* pool,
+                                  const int64_t* seq_off,
+                                  const int64_t* read_ids, int64_t n,
+                                  int32_t lx, uint8_t* out, int32_t* lens,
+                                  int n_threads) {
+  if (lx % 4) return -1;  // rows are lx/4 bytes
+  static const auto lut2 = [] {
+    std::array<uint8_t, 256> t;
+    t.fill(0xFF);
+    t[(uint8_t)'A'] = 0;
+    t[(uint8_t)'C'] = 1;
+    t[(uint8_t)'G'] = 2;
+    t[(uint8_t)'T'] = 3;
+    return t;
+  }();
+  int32_t q = lx / 4;
+  std::atomic<int32_t> bad{0};
+  parallel_chunks(n, n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      if (bad.load(std::memory_order_relaxed)) return;
+      int64_t r = read_ids[i];
+      int64_t s = seq_off[r];
+      int64_t len = seq_off[r + 1] - s;
+      if (len > lx) len = lx;
+      lens[i] = (int32_t)len;
+      uint8_t* dst = out + i * (int64_t)q;
+      memset(dst, 0, (size_t)q);
+      for (int64_t k = 0; k < len; ++k) {
+        uint8_t c = lut2[pool[s + k]];
+        if (c & 0xFC) {
+          bad.store(1);
+          return;
+        }
+        dst[k >> 2] |= (uint8_t)(c << ((k & 3) * 2));
+      }
+    }
+  });
+  return bad.load() ? -1 : 0;
+}
+
 // ---- Aux-tag value mapping ----------------------------------------------
 //
 // The collect phase maps every record's CB tag to a barcode-list index

@@ -269,6 +269,22 @@ def test_packed_transfer_matches_unpacked(tmp_path, monkeypatch):
         monkeypatch.setenv("VARTRIX_PACK4", "0")
         got3 = fn(prov, ph, idx_ref, idx_alt)
         np.testing.assert_array_equal(got3, exp)
+        # 2-bit read protocol (A/C/G/T synth reads qualify): identical
+        # codes with it forced off vs on
+        monkeypatch.setenv("VARTRIX_PACK4", "1")
+        monkeypatch.setenv("VARTRIX_PACK2", "0")
+        got4 = fn(prov, haps, idx_ref, idx_alt)
+        np.testing.assert_array_equal(got4, exp)
+        monkeypatch.setenv("VARTRIX_PACK2", "1")
+        got5 = fn(prov, haps, idx_ref, idx_alt)
+        np.testing.assert_array_equal(got5, exp)
+        # per-chunk decline: a provider whose packed2 refuses must land
+        # on the 4-bit path with identical results
+        prov_no2 = _read_provider(cbam, rows, lx)
+        prov_no2.packed2 = lambda s, n: None
+        got6 = fn(prov_no2, haps, idx_ref, idx_alt)
+        np.testing.assert_array_equal(got6, exp)
+        monkeypatch.delenv("VARTRIX_PACK2")
 
 
 @pytest.mark.parametrize("env", [
@@ -276,6 +292,7 @@ def test_packed_transfer_matches_unpacked(tmp_path, monkeypatch):
     {"VARTRIX_FUSED_CALLS": "0"},           # scores path + PackedHaps
     {"VARTRIX_QUAD": "0"},                  # v5 chained + packed
     {"VARTRIX_PACK4": "0"},                 # dense transfer
+    {"VARTRIX_PACK2": "0"},                 # 4-bit (no 2-bit reads)
     {"VARTRIX_PAIR": "0"},                  # compact protocol
 ])
 def test_fast_pipeline_env_matrix(tmp_path, monkeypatch, env):

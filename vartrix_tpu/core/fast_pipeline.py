@@ -228,6 +228,16 @@ def _read_provider(cbam: ColumnarBam, rows: np.ndarray, lx: int):
                     cbam.seq_pool, cbam.seq_off,
                     rows[start : start + n], lx)
             x.packed = xp
+
+            # 2-bit flavor (A/C/G/T only): quarters the read transfer;
+            # declines per chunk on any other byte (N, '=', lowercase)
+            from ..io.bam_native import gather_padded_packed2
+
+            def xp2(start, n, rows=rows, lx=lx):
+                return gather_padded_packed2(
+                    cbam.seq_pool, cbam.seq_off,
+                    rows[start : start + n], lx)
+            x.packed2 = xp2
         return x
     return gather_reads(cbam, rows, lx)
 

@@ -98,6 +98,13 @@ def get_lib() -> ctypes.CDLL:
         except AttributeError:
             pass
         try:
+            lib.gio_gather_padded_packed2.restype = ctypes.c_int32
+            lib.gio_gather_padded_packed2.argtypes = [
+                u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int32, u8p,
+                i32p_, ctypes.c_int]
+        except AttributeError:
+            pass
+        try:
             lib.gio_tag_lookup.restype = None
             lib.gio_tag_lookup.argtypes = [
                 u8p, i64p, ctypes.c_int64, u8p, i64p, ctypes.c_int64,
@@ -228,6 +235,39 @@ def gather_padded_packed(seq_pool: np.ndarray, seq_off: np.ndarray,
     pool = np.ascontiguousarray(seq_pool, dtype=np.uint8)
     off = np.ascontiguousarray(seq_off, dtype=np.int64)
     rc = lib.gio_gather_padded_packed(
+        pool.ctypes.data_as(u8p), off.ctypes.data_as(i64p),
+        read_ids.ctypes.data_as(i64p), ctypes.c_int64(len(read_ids)),
+        ctypes.c_int32(lx), out.ctypes.data_as(u8p),
+        lens.ctypes.data_as(i32p), ctypes.c_int(n_threads))
+    if rc != 0:
+        return None
+    return out, lens
+
+
+def gather_padded_packed2(seq_pool: np.ndarray, seq_off: np.ndarray,
+                          read_ids: np.ndarray, lx: int,
+                          n_threads: int = 0):
+    """Threaded native 2-BIT packed gather: ([n, lx//4] uint8, four
+    A/C/G/T codes per byte low-bits-first, [n] int32 lengths) — or None
+    when unavailable, lx % 4 != 0, or any pool byte is not A/C/G/T
+    (caller falls back to the 4-bit protocol). Quarters the read
+    transfer on the dominant pure-ACGT case."""
+    lib = get_lib()
+    if not hasattr(lib, "gio_gather_padded_packed2") or lx % 4:
+        return None
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    read_ids = np.ascontiguousarray(read_ids, dtype=np.int64)
+    out = np.empty((len(read_ids), lx // 4), dtype=np.uint8)
+    lens = np.empty(len(read_ids), dtype=np.int32)
+    if len(read_ids) == 0:
+        return out, lens
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    pool = np.ascontiguousarray(seq_pool, dtype=np.uint8)
+    off = np.ascontiguousarray(seq_off, dtype=np.int64)
+    rc = lib.gio_gather_padded_packed2(
         pool.ctypes.data_as(u8p), off.ctypes.data_as(i64p),
         read_ids.ctypes.data_as(i64p), ctypes.c_int64(len(read_ids)),
         ctypes.c_int32(lx), out.ctypes.data_as(u8p),

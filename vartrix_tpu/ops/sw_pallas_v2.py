@@ -960,6 +960,21 @@ def _sw_pair_chained_calls(x_u8: jax.Array, hap_mat: jax.Array,
 # device, so scores stay raw-byte identical to the unpacked path.
 SEQ_NT16_TBL = np.frombuffer(b"=ACMGRSVTWYHKDBN", np.uint8).copy()
 
+# 2-bit protocol table (gio_gather_padded_packed2: A/C/G/T only,
+# low-bits-first within each byte)
+PACK2_TBL = np.frombuffer(b"ACGT", np.uint8).copy()
+
+
+def _unpack2(xp: jax.Array, xlen: jax.Array, lx: int) -> jax.Array:
+    """[R, lx//4] 2-bit codes (low bits first) + [R] lengths ->
+    [R, lx] uint8 ASCII bytes, positions >= len set to 0 (read pad)."""
+    R = xp.shape[0]
+    rep = jnp.repeat(xp.astype(jnp.int32), 4, axis=1)        # [R, lx]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (R, lx), 1)
+    codes = (rep >> ((pos % 4) * 2)) & 3
+    x = jnp.asarray(PACK2_TBL)[codes]
+    return jnp.where(pos < xlen[:, None], x, jnp.uint8(0))
+
 
 def _unpack4(xp: jax.Array, xlen: jax.Array, lx: int,
              pad: int = 0) -> jax.Array:
@@ -1026,6 +1041,17 @@ def _sw_pair_chained_calls_packed2(xp: jax.Array, xlen: jax.Array,
                                   interpret=interpret, unroll=unroll)
 
 
+@functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
+def _sw_pair_chained_calls_p2(xp: jax.Array, xlen: jax.Array,
+                              hap_mat: jax.Array, idx2: jax.Array,
+                              *, lx: int, ly: int, interpret: bool,
+                              unroll: int = UNROLL_DEFAULT) -> jax.Array:
+    """2-bit read transfer flavor of _sw_pair_chained_calls."""
+    x = _unpack2(xp, xlen, lx)
+    return _sw_pair_chained_calls(x, hap_mat, idx2, lx=lx, ly=ly,
+                                  interpret=interpret, unroll=unroll)
+
+
 def _pack4_enabled(x, packed_entry) -> bool:
     return (packed_entry is not None and callable(x)
             and getattr(x, "packed", None) is not None
@@ -1069,7 +1095,8 @@ def _inflight() -> int:
 
 
 def _chunked_pair_dispatch(x, hap_mat, idx_ref, idx_alt, entry, unroll,
-                           packed_entry, packed2_entry, bp_of):
+                           packed_entry, packed2_entry, bp_of,
+                           p2_entry=None):
     """Shared chunk-dispatch body for the chained-pair and quad entries:
     each chunk ships read rows + interleaved hap indices; `bp_of(n)`
     quantizes the padded row count for the target kernel's lane
@@ -1123,8 +1150,15 @@ def _chunked_pair_dispatch(x, hap_mat, idx_ref, idx_alt, entry, unroll,
         start += n
 
     # a shared hint so one declined packed gather (foreign alphabet)
-    # stops later chunks from re-attempting; races only cost one retry
-    state = {"packed": packed_ok}
+    # stops later chunks from re-attempting; races only cost one retry.
+    # The 2-bit protocol (A/C/G/T only, quarter transfer) needs the
+    # device-resident dense hap path (hp_dev None), a p2 entry, and
+    # lx % 4 == 0; it declines per chunk on any non-ACGT read byte.
+    state = {"packed": packed_ok,
+             "p2": (packed_ok and p2_entry is not None
+                    and getattr(x, "packed2", None) is not None
+                    and lx % 4 == 0 and hp_dev is None
+                    and os.environ.get("VARTRIX_PACK2", "1") != "0")}
 
     def prep(span):
         start, n = span
@@ -1132,6 +1166,16 @@ def _chunked_pair_dispatch(x, hap_mat, idx_ref, idx_alt, entry, unroll,
         idx2 = np.zeros(2 * bp, dtype=np.int32)
         idx2[0 : 2 * n : 2] = idx_ref[start : start + n]
         idx2[1 : 2 * n : 2] = idx_alt[start : start + n]
+        if state["p2"]:
+            got2 = x.packed2(start, n)
+            if got2 is not None:
+                xg, lg = got2
+                xc = np.zeros((bp, lx // 4), dtype=np.uint8)
+                xc[:n] = xg
+                xl = np.zeros(bp, dtype=np.int32)
+                xl[:n] = lg
+                return ("p2", xc, xl, idx2)
+            state["p2"] = False
         got = x.packed(start, n) if state["packed"] else None
         if got is not None:
             xg, lg = got
@@ -1139,15 +1183,20 @@ def _chunked_pair_dispatch(x, hap_mat, idx_ref, idx_alt, entry, unroll,
             xc[:n] = xg
             xl = np.zeros(bp, dtype=np.int32)
             xl[:n] = lg
-            return (xc, xl, idx2)
+            return ("p4", xc, xl, idx2)
         state["packed"] = False
         xc = np.zeros((bp, lx), dtype=np.uint8)
         xc[:n] = x(start, n) if provider else x[start : start + n]
-        return (xc, None, idx2)
+        return ("dense", xc, None, idx2)
 
     def dispatch(prepped):
-        xc, xl, idx2 = prepped
-        if xl is not None:
+        mode, xc, xl, idx2 = prepped
+        if mode == "p2":
+            return p2_entry(
+                jnp.asarray(xc), jnp.asarray(xl), hap_dense(),
+                jnp.asarray(idx2), lx=lx, ly=ly, interpret=interpret,
+                unroll=unroll)
+        if mode == "p4":
             if hp_dev is not None:
                 return packed2_entry(
                     jnp.asarray(xc), jnp.asarray(xl), hp_dev[0], hp_dev[1],
@@ -1196,13 +1245,14 @@ def _chunked_pair_dispatch(x, hap_mat, idx_ref, idx_alt, entry, unroll,
 
 
 def _pair_chunks(x, hap_mat, idx_ref, idx_alt, entry, unroll,
-                 packed_entry=None, packed2_entry=None):
+                 packed_entry=None, packed2_entry=None, p2_entry=None):
     """Chained-pair chunking (one lane per read): rows quantized to
     whole LANES groups."""
     return _chunked_pair_dispatch(
         x, hap_mat, idx_ref, idx_alt, entry, unroll, packed_entry,
         packed2_entry,
-        bp_of=lambda n: max(_quantized_batch(2 * n) // 2, LANES))
+        bp_of=lambda n: max(_quantized_batch(2 * n) // 2, LANES),
+        p2_entry=p2_entry)
 
 
 def sw_calls_pair_chained_tpu(x, hap_mat: np.ndarray,
@@ -1215,7 +1265,8 @@ def sw_calls_pair_chained_tpu(x, hap_mat: np.ndarray,
     results, spans = _pair_chunks(
         x, hap_mat, idx_ref, idx_alt, _sw_pair_chained_calls, unroll,
         packed_entry=_sw_pair_chained_calls_packed,
-        packed2_entry=_sw_pair_chained_calls_packed2)
+        packed2_entry=_sw_pair_chained_calls_packed2,
+        p2_entry=_sw_pair_chained_calls_p2)
     for r, (s, n) in zip(results, spans):
         out[s : s + n] = np.asarray(r)[:n]
     return out
@@ -1495,6 +1546,17 @@ def _sw_pair_quad_calls_packed2(xp: jax.Array, xlen: jax.Array,
                                interpret=interpret, unroll=unroll)
 
 
+@functools.partial(jax.jit, static_argnames=("lx", "ly", "interpret", "unroll"))
+def _sw_pair_quad_calls_p2(xp: jax.Array, xlen: jax.Array,
+                           hap_mat: jax.Array, idx2: jax.Array,
+                           *, lx: int, ly: int, interpret: bool,
+                           unroll: int = UNROLL_DEFAULT) -> jax.Array:
+    """2-bit read transfer flavor of _sw_pair_quad_calls."""
+    x = _unpack2(xp, xlen, lx)
+    return _sw_pair_quad_calls(x, hap_mat, idx2, lx=lx, ly=ly,
+                               interpret=interpret, unroll=unroll)
+
+
 def _quad_bp(n: int) -> int:
     """Quad batch quantization: power-of-two padded (>= 2*LANES, so
     lanes pair up) — tail chunks reuse log2-many compiled shapes across
@@ -1506,11 +1568,11 @@ def _quad_bp(n: int) -> int:
 
 
 def _pair2_chunks(x, hap_mat, idx_ref, idx_alt, entry, unroll,
-                  packed_entry=None, packed2_entry=None):
+                  packed_entry=None, packed2_entry=None, p2_entry=None):
     """Quad-entry chunking (two reads per lane): see _quad_bp."""
     return _chunked_pair_dispatch(
         x, hap_mat, idx_ref, idx_alt, entry, unroll, packed_entry,
-        packed2_entry, bp_of=_quad_bp)
+        packed2_entry, bp_of=_quad_bp, p2_entry=p2_entry)
 
 
 def sw_calls_pair_quad_tpu(x, hap_mat: np.ndarray,
@@ -1527,7 +1589,8 @@ def sw_calls_pair_quad_tpu(x, hap_mat: np.ndarray,
     results, spans = _pair2_chunks(
         x, hap_mat, idx_ref, idx_alt, _sw_pair_quad_calls, unroll,
         packed_entry=_sw_pair_quad_calls_packed,
-        packed2_entry=_sw_pair_quad_calls_packed2)
+        packed2_entry=_sw_pair_quad_calls_packed2,
+        p2_entry=_sw_pair_quad_calls_p2)
     for r, (s, n) in zip(results, spans):
         out[s : s + n] = np.asarray(r)[:n]
     return out
